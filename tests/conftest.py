@@ -1,0 +1,23 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Unlike the reference (whose tests require a CUDA GPU — reference
+tests/__init__.py:37 calls .cuda() in every fixture), this suite runs the
+same JAX code on CPU, and exposes 8 virtual devices so sharding/pjit paths
+are exercised without TPU hardware.
+
+Note: the env-var route (JAX_PLATFORMS=cpu) is overridden by the TPU
+platform plugin in this environment, so the config API is used instead —
+it must run before any backend initialization, hence at conftest import.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
