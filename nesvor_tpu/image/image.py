@@ -1,0 +1,368 @@
+"""Image data model + NIfTI I/O (rebuild of reference nesvor/image/image.py).
+
+``Image``/``Slice``/``Volume``/``Stack`` hold jnp arrays (device-resident)
+with host-side Python orchestration; NIfTI round-trips go through the pure
+numpy reader/writer in :mod:`nesvor_tpu.image.nifti`. Semantics follow the
+reference line-for-line where they define behavior (masking rules, affine
+bridges, slice-gap-initialized stack transforms), but all tensor math is JAX.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.interp import grid_sample_3d
+from ..transform import RigidTransform, transform_points
+from ..utils import meshgrid
+from .image_utils import (
+    affine2transformation,
+    compare_resolution_affine,
+    transformation2affine,
+)
+from .nifti import read_nifti, write_nifti
+
+
+class Image:
+    """3-D image + bool mask + RigidTransform + per-axis resolution
+    (reference image.py:17-94). ``image`` is (d, h, w) in (z, y, x) order."""
+
+    def __init__(
+        self,
+        image: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        transformation: Optional[RigidTransform] = None,
+        resolution_x: float = 1.0,
+        resolution_y: float = 1.0,
+        resolution_z: float = 1.0,
+    ) -> None:
+        assert image.ndim == 3
+        self.image = image
+        if mask is None:
+            mask = jnp.ones_like(image, dtype=bool)
+        self.mask = mask
+        if transformation is None:
+            transformation = RigidTransform(jnp.zeros((1, 6), dtype=jnp.float32))
+        self.transformation = transformation
+        self.resolution_x = float(resolution_x)
+        self.resolution_y = float(resolution_y)
+        self.resolution_z = float(resolution_z)
+
+    def _clone_image(self, zero: bool = False) -> Dict:
+        return {
+            "image": jnp.zeros_like(self.image) if zero else jnp.array(self.image),
+            "mask": jnp.zeros_like(self.mask) if zero else jnp.array(self.mask),
+            "transformation": self.transformation.clone(),
+            "resolution_x": self.resolution_x,
+            "resolution_y": self.resolution_y,
+            "resolution_z": self.resolution_z,
+        }
+
+    @property
+    def shape_xyz(self) -> jnp.ndarray:
+        return jnp.asarray(self.image.shape[::-1])
+
+    @property
+    def resolution_xyz(self) -> jnp.ndarray:
+        return jnp.asarray(
+            [self.resolution_x, self.resolution_y, self.resolution_z],
+            dtype=jnp.float32,
+        )
+
+    def save(self, path: str, masked: bool = True) -> None:
+        affine = transformation2affine(
+            self.image.shape,
+            self.transformation,
+            self.resolution_x,
+            self.resolution_y,
+            self.resolution_z,
+        )
+        if masked:
+            out = self.image * self.mask.astype(self.image.dtype)
+        else:
+            out = self.image
+        save_nii_volume(path, out, affine)
+
+    @property
+    def xyz_masked(self) -> jnp.ndarray:
+        return transform_points(self.transformation, self.xyz_masked_untransformed)
+
+    @property
+    def xyz_masked_untransformed(self) -> jnp.ndarray:
+        kji = jnp.flip(jnp.stack(jnp.nonzero(self.mask), -1), (-1,))
+        return (kji - (self.shape_xyz - 1) / 2) * self.resolution_xyz
+
+    @property
+    def v_masked(self) -> jnp.ndarray:
+        return self.image[self.mask]
+
+    def rescale(self, intensity_mean: float) -> None:
+        scale = intensity_mean / self.image[self.mask].mean()
+        self.image = self.image * scale
+
+    def clone(self, zero: bool = False):
+        raise NotImplementedError
+
+
+class Slice(Image):
+    """2-D slice stored as (1, h, w) (reference image.py:97-120)."""
+
+    def __init__(
+        self,
+        image: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        transformation: Optional[RigidTransform] = None,
+        resolution_x: float = 1.0,
+        resolution_y: float = 1.0,
+        resolution_z: float = 1.0,
+        stack_idx: Optional[int] = None,
+        slice_idx: Optional[int] = None,
+    ) -> None:
+        super().__init__(
+            image, mask, transformation, resolution_x, resolution_y, resolution_z
+        )
+        self.stack_idx = stack_idx
+        self.slice_idx = slice_idx
+
+    def clone(self, zero: bool = False) -> "Slice":
+        return Slice(
+            stack_idx=self.stack_idx,
+            slice_idx=self.slice_idx,
+            **self._clone_image(zero),
+        )
+
+
+class Volume(Image):
+    """3-D volume with point sampling and resampling (reference image.py:123-177)."""
+
+    def sample_points(self, xyz: jnp.ndarray) -> jnp.ndarray:
+        shape = xyz.shape[:-1]
+        xyz = transform_points(self.transformation.inv(), xyz.reshape(-1, 3))
+        xyz = xyz / ((self.shape_xyz - 1) * self.resolution_xyz / 2)
+        return grid_sample_3d(self.image, xyz).reshape(shape)
+
+    def resample(
+        self,
+        resolution_new: Optional[Union[float, jnp.ndarray]],
+        transformation_new: Optional[RigidTransform] = None,
+    ) -> "Volume":
+        if transformation_new is None:
+            transformation_new = self.transformation
+        R = transformation_new.matrix()[0, :3, :3]
+        if resolution_new is None:
+            resolution_new = self.resolution_xyz
+        elif isinstance(resolution_new, (float, int)):
+            resolution_new = jnp.full((3,), float(resolution_new), dtype=jnp.float32)
+
+        xyz = self.xyz_masked
+        xyz = jnp.matmul(jnp.linalg.inv(R), xyz.reshape(-1, 3, 1))[..., 0]
+
+        xyz_min = xyz.min(0) - resolution_new * 10
+        xyz_max = xyz.max(0) + resolution_new * 10
+        shape_xyz = np.asarray(jnp.ceil((xyz_max - xyz_min) / resolution_new)).astype(
+            int
+        )
+
+        mat = jnp.zeros((1, 3, 4), dtype=R.dtype)
+        mat = mat.at[0, :, :3].set(R)
+        mat = mat.at[0, :, -1].set(xyz_min + (shape_xyz - 1) / 2 * resolution_new)
+
+        grid = meshgrid(shape_xyz, np.asarray(resolution_new), np.asarray(xyz_min))
+        grid = jnp.matmul(R, grid[..., None])[..., 0]
+        v = self.sample_points(grid)
+
+        return Volume(
+            v,
+            v > 0,
+            RigidTransform(mat, trans_first=True),
+            float(resolution_new[0]),
+            float(resolution_new[1]),
+            float(resolution_new[2]),
+        )
+
+    def clone(self, zero: bool = False) -> "Volume":
+        return Volume(**self._clone_image(zero))
+
+
+class Stack:
+    """(n, 1, h, w) slice stack with per-slice transforms initialized by slice
+    gap (reference image.py:183-248)."""
+
+    def __init__(
+        self,
+        slices: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        transformation: Optional[RigidTransform] = None,
+        score: float = 0.0,
+        resolution_x: float = 1.0,
+        resolution_y: float = 1.0,
+        thickness: float = 1.0,
+        gap: float = 1.0,
+    ) -> None:
+        self.slices = slices
+        if mask is None:
+            mask = jnp.ones_like(slices, dtype=bool)
+        self.mask = mask
+        if transformation is None:
+            n = slices.shape[0]
+            t = jnp.zeros((n, 6), dtype=jnp.float32)
+            t = t.at[:, -1].set((jnp.arange(n, dtype=jnp.float32) - n / 2) * gap)
+            transformation = RigidTransform(t)
+        self.transformation = transformation
+        if score is None:
+            score = jnp.ones(slices.shape[0], dtype=jnp.float32)
+        self.score = score
+        self.resolution_x = float(resolution_x)
+        self.resolution_y = float(resolution_y)
+        self.thickness = float(thickness)
+        self.gap = float(gap)
+
+    def __len__(self) -> int:
+        return self.slices.shape[0]
+
+    def __getitem__(self, idx):
+        assert self.slices.ndim == 4
+        slices = self.slices[idx]
+        masks = self.mask[idx]
+        transformation = self.transformation[idx]
+        if slices.ndim < self.slices.ndim:
+            return Slice(
+                slices,
+                masks,
+                transformation,
+                self.resolution_x,
+                self.resolution_y,
+                self.thickness,
+            )
+        return [
+            Slice(
+                slices[i],
+                masks[i],
+                transformation[i],
+                self.resolution_x,
+                self.resolution_y,
+                self.thickness,
+            )
+            for i in range(len(transformation))
+        ]
+
+
+# ---- NIfTI I/O (reference image.py:251-393) ---------------------------------------
+
+
+def save_nii_volume(
+    path: str,
+    volume: Union[jnp.ndarray, np.ndarray],
+    affine: Optional[np.ndarray],
+) -> None:
+    assert volume.ndim == 3 or (volume.ndim == 4 and volume.shape[1] == 1)
+    if volume.ndim == 4:
+        volume = volume[:, 0]
+    # (d, h, w) -> file (x, y, z) order
+    vol_np = np.asarray(volume).transpose(2, 1, 0)
+    if affine is None:
+        affine = np.eye(4)
+    write_nifti(path, vol_np, np.asarray(affine))
+
+
+def load_nii_volume(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    data, resolutions, affine, hdr = read_nifti(path)
+    ndim_used = int(hdr["dim"][0])
+    assert ndim_used == 3 or (
+        ndim_used > 3 and all(int(d) == 1 for d in hdr["dim"][4 : 1 + ndim_used])
+    ), ("Expect a 3D volume but the input is %dD" % ndim_used)
+    while data.ndim > 3:
+        data = data.squeeze(-1)
+    volume = data.transpose(2, 1, 0)  # -> (z, y, x)
+    return volume.astype(np.float32), resolutions, affine
+
+
+def save_slices(folder: str, images: List[Slice]) -> None:
+    for i, image in enumerate(images):
+        image.save(os.path.join(folder, f"{i}.nii.gz"), True)
+
+
+def load_slices(folder: str) -> List[Slice]:
+    slices = []
+    ids = []
+    for f in os.listdir(folder):
+        if not (f.endswith("nii") or f.endswith("nii.gz")):
+            continue
+        ids.append(int(f.split(".nii")[0]))
+        vol, resolutions, affine = load_nii_volume(os.path.join(folder, f))
+        mask = vol > 0
+        vol, mask, transformation = affine2transformation(
+            vol, mask, resolutions, affine
+        )
+        slices.append(
+            Slice(
+                image=jnp.asarray(vol),
+                mask=jnp.asarray(mask),
+                transformation=transformation,
+                resolution_x=float(resolutions[0]),
+                resolution_y=float(resolutions[1]),
+                resolution_z=float(resolutions[2]),
+            )
+        )
+    return [s for _, s in sorted(zip(ids, slices), key=lambda p: p[0])]
+
+
+def load_stack(path_vol: str, path_mask: Optional[str] = None) -> Stack:
+    slices, resolutions, affine = load_nii_volume(path_vol)
+    if path_mask is None:
+        mask = slices > 0
+    else:
+        mask_np, resolutions_m, affine_m = load_nii_volume(path_mask)
+        mask = mask_np > 0
+        if not compare_resolution_affine(
+            resolutions, affine, resolutions_m, affine_m, slices.shape, mask.shape
+        ):
+            raise ValueError(
+                "Error: the sizes/resolutions/affine transformations of the "
+                "input stack and stack mask do not match!"
+            )
+
+    slices, mask, transformation = affine2transformation(
+        slices, mask, resolutions, affine
+    )
+    return Stack(
+        slices=jnp.asarray(slices)[:, None],
+        mask=jnp.asarray(mask)[:, None],
+        transformation=transformation,
+        resolution_x=float(resolutions[0]),
+        resolution_y=float(resolutions[1]),
+        thickness=float(resolutions[2]),
+        gap=float(resolutions[2]),
+    )
+
+
+def load_volume(path_vol: str, path_mask: Optional[str] = None) -> Volume:
+    vol, resolutions, affine = load_nii_volume(path_vol)
+    if path_mask is None:
+        mask = vol > 0
+    else:
+        mask_np, resolutions_m, affine_m = load_nii_volume(path_mask)
+        mask = mask_np > 0
+        if not compare_resolution_affine(
+            resolutions, affine, resolutions_m, affine_m, vol.shape, mask.shape
+        ):
+            raise ValueError(
+                "Error: the sizes/resolutions/affine transformations of the "
+                "input stack and stack mask do not match!"
+            )
+
+    vol, mask, transformation = affine2transformation(vol, mask, resolutions, affine)
+    transformation = RigidTransform(
+        transformation.axisangle().mean(0, keepdims=True)
+    )
+    return Volume(
+        image=jnp.asarray(vol),
+        mask=jnp.asarray(mask),
+        transformation=transformation,
+        resolution_x=float(resolutions[0]),
+        resolution_y=float(resolutions[1]),
+        resolution_z=float(resolutions[2]),
+    )
