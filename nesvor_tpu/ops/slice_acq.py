@@ -1,0 +1,435 @@
+"""PSF slice-acquisition projector: volume -> slices (forward) and its
+adjoint splat (slices -> volume), fully differentiable.
+
+TPU-native rebuild of the reference CUDA extension
+``nesvor/slice_acquisition/slice_acq_cuda_kernel.cu``:
+
+  * forward (reference :17-171): per slice pixel, map through the rigid
+    transform, iterate the PSF support box, trilinearly gather the masked
+    volume, normalize by the accumulated weight.
+  * adjoint forward (reference :472-670): two passes — a weight pass that
+    drops border pixels with ``weight < 0.5`` (reference :560), then a splat
+    of ``psf/weight``-weighted slice values into the volume; optional
+    ``equalize`` divides by the accumulated weight volume (reference
+    :672-693) with the gradient clamp at 1e-3 (reference :683-687,
+    equalize_cuda_kernel is_grad branch).
+
+Design: instead of one CUDA thread per pixel with ``atomicAdd`` scatter
+(which makes the reference nondeterministic), each PSF tap is processed as
+a fully vectorized gather/scatter over all pixels inside a ``lax.scan``;
+XLA's scatter-add is deterministic. The scan body is ``jax.checkpoint``-ed
+so autodiff recomputes taps instead of storing 8 corner weights per tap.
+Gradients w.r.t. both the volume and the 3x4 transforms come from plain JAX
+autodiff through the branchless formulation (the reference needed ~900
+lines of hand-derived backward kernels, :173-470 and :695-950).
+
+Shapes follow the reference API: ``vol`` (1, 1, D, H, W) or (D, H, W);
+``slices`` (n, 1, h, w); ``transforms`` (n, 3, 4) trans-first in
+volume-voxel units (callers apply ``mat_update_resolution`` beforehand);
+``res_slice`` = slice-pixel size in volume-voxel units.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _tap_offsets(psf_shape: Tuple[int, int, int]) -> np.ndarray:
+    """Static (T, 3) array of (ox, oy, oz) PSF-tap offsets, x fastest —
+    matching the reference loop order (slice_acq_cuda_kernel.cu:61-63)."""
+    d_p, h_p, w_p = psf_shape
+    zs = np.arange(-(d_p // 2), (d_p + 1) // 2)
+    ys = np.arange(-(h_p // 2), (h_p + 1) // 2)
+    xs = np.arange(-(w_p // 2), (w_p + 1) // 2)
+    oz, oy, ox = np.meshgrid(zs, ys, xs, indexing="ij")
+    return np.stack([ox, oy, oz], -1).reshape(-1, 3).astype(np.float32)
+
+
+def _pixel_centers(
+    transforms: jnp.ndarray,
+    slice_shape: Tuple[int, int],
+    vol_shape: Tuple[int, int, int],
+    res_slice: float,
+) -> jnp.ndarray:
+    """Volume-voxel coordinates of slice-pixel centers, (n, h*w, 3)
+    (reference :42-56)."""
+    n = transforms.shape[0]
+    h, w = slice_shape
+    D, H, W = vol_shape
+    R = transforms[:, :, :3]
+    t = transforms[:, :, 3]
+    ix = jnp.arange(w, dtype=transforms.dtype)
+    iy = jnp.arange(h, dtype=transforms.dtype)
+    px = (ix - (w - 1) / 2.0) * res_slice
+    py = (iy - (h - 1) / 2.0) * res_slice
+    gx, gy = jnp.meshgrid(px, py, indexing="xy")  # (h, w)
+    p = jnp.stack([gx, gy, jnp.zeros_like(gx)], -1).reshape(-1, 3)  # (h*w, 3)
+    # x' = R @ (p + t)  (trans_first)
+    xyz = jnp.einsum("nij,npj->npi", R, p[None] + t[:, None, :])
+    offset = jnp.array(
+        [(W - 1) / 2.0, (H - 1) / 2.0, (D - 1) / 2.0], dtype=transforms.dtype
+    )
+    return xyz + offset
+
+
+def _trilinear_weights(pos):
+    """pos (..., 3) -> (base int coords, list of (corner_index_offset fns))."""
+    p0 = jnp.floor(pos)
+    frac = pos - p0
+    return p0.astype(jnp.int32), frac
+
+
+def _corner_iter(frac):
+    """Yields (dx, dy, dz, weight) for the 8 trilinear corners."""
+    wx, wy, wz = frac[..., 0], frac[..., 1], frac[..., 2]
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = (
+                    (wx if dx else 1.0 - wx)
+                    * (wy if dy else 1.0 - wy)
+                    * (wz if dz else 1.0 - wz)
+                )
+                yield dx, dy, dz, w
+
+
+def _resample_psf(psf_flat, psf_shape, rel, R):
+    """Trilinear resample of the PSF at back-rotated offsets ``rel`` (n, P, 3)
+    (reference :79-105 — the interp_psf branch)."""
+    d_p, h_p, w_p = psf_shape
+    # back-rotate: psf coords = R^T @ rel
+    loc = jnp.einsum("nji,npj->npi", R, rel)
+    loc = loc + jnp.array(
+        [(w_p - 1) / 2.0, (h_p - 1) / 2.0, (d_p - 1) / 2.0], dtype=rel.dtype
+    )
+    valid = (
+        (loc[..., 0] >= 0)
+        & (loc[..., 1] >= 0)
+        & (loc[..., 2] >= 0)
+        & (loc[..., 0] < w_p - 1)
+        & (loc[..., 1] < h_p - 1)
+        & (loc[..., 2] < d_p - 1)
+    )
+    loc = jnp.clip(loc, 0.0, jnp.array([w_p - 1, h_p - 1, d_p - 1], dtype=rel.dtype) - 1e-6)
+    base, frac = _trilinear_weights(loc)
+    val = jnp.zeros(rel.shape[:-1], dtype=psf_flat.dtype)
+    for dx, dy, dz, w in _corner_iter(frac):
+        idx = (
+            (base[..., 2] + dz) * (h_p * w_p)
+            + (base[..., 1] + dy) * w_p
+            + (base[..., 0] + dx)
+        )
+        val = val + w * jnp.take(psf_flat, idx)
+    return jnp.where(valid, val, 0.0)
+
+
+def _as_vol3d(vol):
+    return vol.reshape(vol.shape[-3:])
+
+
+def _normalize_masks(vol_mask, slices_mask):
+    if vol_mask is not None and vol_mask.size == 0:
+        vol_mask = None
+    if slices_mask is not None and slices_mask.size == 0:
+        slices_mask = None
+    return vol_mask, slices_mask
+
+
+@partial(
+    jax.jit,
+    static_argnames=("slice_shape", "res_slice", "need_weight", "interp_psf", "psf_shape"),
+)
+def _forward_impl(
+    transforms,
+    vol3d,
+    vol_mask3d,
+    slices_mask,
+    psf_flat,
+    taps,
+    slice_shape,
+    res_slice,
+    need_weight,
+    interp_psf,
+    psf_shape,
+):
+    n = transforms.shape[0]
+    h, w = slice_shape
+    D, H, W = vol3d.shape
+    P = h * w
+    dtype = vol3d.dtype
+
+    centers = _pixel_centers(transforms, slice_shape, (D, H, W), res_slice)  # (n, P, 3)
+    R = transforms[:, :, :3]
+    vol_flat = vol3d.reshape(-1)
+    vmask_flat = None if vol_mask3d is None else vol_mask3d.reshape(-1)
+
+    def tap_body(carry, tap):
+        val, wt = carry
+        off = tap[:3]
+        pv = tap[3]
+        rot_off = jnp.einsum("nij,j->ni", R, off)  # (n, 3)
+        pos = centers + rot_off[:, None, :]  # (n, P, 3)
+        valid = (
+            (pos[..., 0] >= 0)
+            & (pos[..., 1] >= 0)
+            & (pos[..., 2] >= 0)
+            & (pos[..., 0] < W - 1)
+            & (pos[..., 1] < H - 1)
+            & (pos[..., 2] < D - 1)
+        )
+        pos_c = jnp.clip(
+            pos, 0.0, jnp.array([W - 1, H - 1, D - 1], dtype=dtype) - 1e-6
+        )
+        if interp_psf:
+            # NN volume sample, trilinear PSF resample (reference :71-109)
+            idx_nn = (
+                jnp.round(pos_c[..., 2]).astype(jnp.int32) * (H * W)
+                + jnp.round(pos_c[..., 1]).astype(jnp.int32) * W
+                + jnp.round(pos_c[..., 0]).astype(jnp.int32)
+            )
+            rel = jnp.round(pos) - centers  # (n, P, 3)
+            pv_eff = _resample_psf(psf_flat, psf_shape, rel, R)
+            cmask = 1.0 if vmask_flat is None else jnp.take(vmask_flat, idx_nn).astype(dtype)
+            contrib_w = jnp.where(valid, pv_eff * cmask, 0.0)
+            val = val + contrib_w * jnp.take(vol_flat, idx_nn)
+            wt = wt + contrib_w
+        else:
+            base, frac = _trilinear_weights(pos_c)
+            for dx, dy, dz, cw in _corner_iter(frac):
+                idx = (
+                    (base[..., 2] + dz) * (H * W)
+                    + (base[..., 1] + dy) * W
+                    + (base[..., 0] + dx)
+                )
+                cm = 1.0 if vmask_flat is None else jnp.take(vmask_flat, idx).astype(dtype)
+                contrib_w = jnp.where(valid, pv * cw * cm, 0.0)
+                val = val + contrib_w * jnp.take(vol_flat, idx)
+                wt = wt + contrib_w
+        return (val, wt), None
+
+    init = (jnp.zeros((n, P), dtype), jnp.zeros((n, P), dtype))
+    (val, wt), _ = jax.lax.scan(jax.checkpoint(tap_body), init, taps)
+
+    out = jnp.where(wt > 0, val / jnp.where(wt > 0, wt, 1.0), 0.0)
+    if slices_mask is not None:
+        sm = slices_mask.reshape(n, P)
+        out = jnp.where(sm, out, 0.0)
+        wt = jnp.where(sm, wt, 0.0)
+    return out.reshape(n, 1, h, w), wt.reshape(n, 1, h, w)
+
+
+def slice_acquisition(
+    transforms: jnp.ndarray,
+    vol: jnp.ndarray,
+    vol_mask: Optional[jnp.ndarray],
+    slices_mask: Optional[jnp.ndarray],
+    psf: jnp.ndarray,
+    slice_shape: Tuple[int, int],
+    res_slice: float,
+    need_weight: bool,
+    interp_psf: bool,
+):
+    """Forward projection volume -> slices (reference slice_acq.py:166-190)."""
+    vol_mask, slices_mask = _normalize_masks(vol_mask, slices_mask)
+    vol3d = _as_vol3d(vol)
+    vol_mask3d = None if vol_mask is None else _as_vol3d(vol_mask)
+    psf_shape = tuple(psf.shape)
+    taps = jnp.concatenate(
+        [jnp.asarray(_tap_offsets(psf_shape)), psf.reshape(-1, 1)], axis=1
+    )
+    out, wt = _forward_impl(
+        transforms,
+        vol3d,
+        vol_mask3d,
+        slices_mask,
+        psf.reshape(-1),
+        taps,
+        tuple(int(s) for s in slice_shape),
+        float(res_slice),
+        bool(need_weight),
+        bool(interp_psf),
+        psf_shape,
+    )
+    if need_weight:
+        return out, wt
+    return out
+
+
+@jax.custom_vjp
+def _equalize(num: jnp.ndarray, den: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), num)
+
+
+def _equalize_fwd(num, den):
+    return _equalize(num, den), den
+
+
+def _equalize_bwd(den, g):
+    # reference equalize_cuda_kernel is_grad branch (:672-693): divide the
+    # incoming gradient by the weight clamped at 1e-3; no gradient w.r.t. den.
+    gnum = jnp.where(den > 0, g / jnp.maximum(den, 1e-3), g)
+    return gnum, None
+
+
+_equalize.defvjp(_equalize_fwd, _equalize_bwd)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("vol_shape", "res_slice", "interp_psf", "equalize", "psf_shape", "return_weight"),
+)
+def _adjoint_impl(
+    transforms,
+    psf_flat,
+    taps,
+    slices,
+    slices_mask,
+    vol_mask3d,
+    vol_shape,
+    res_slice,
+    interp_psf,
+    equalize,
+    psf_shape,
+    return_weight,
+):
+    n = transforms.shape[0]
+    h, w = slices.shape[-2], slices.shape[-1]
+    D, H, W = vol_shape
+    P = h * w
+    dtype = slices.dtype
+
+    centers = _pixel_centers(transforms, (h, w), (D, H, W), res_slice)
+    R = transforms[:, :, :3]
+    vmask_flat = None if vol_mask3d is None else vol_mask3d.reshape(-1)
+
+    # ---- pass 1: per-pixel PSF weight (reference :517-560) ----
+    def weight_body(wt, tap):
+        off = tap[:3]
+        pv = tap[3]
+        rot_off = jnp.einsum("nij,j->ni", R, off)
+        pos = centers + rot_off[:, None, :]
+        valid = (
+            (pos[..., 0] >= 0)
+            & (pos[..., 1] >= 0)
+            & (pos[..., 2] >= 0)
+            & (pos[..., 0] < W - 1)
+            & (pos[..., 1] < H - 1)
+            & (pos[..., 2] < D - 1)
+        )
+        if interp_psf:
+            rel = jnp.round(pos) - centers
+            pv_eff = _resample_psf(psf_flat, psf_shape, rel, R)
+            wt = wt + jnp.where(valid, pv_eff, 0.0)
+        else:
+            wt = wt + jnp.where(valid, pv, 0.0)
+        return wt, None
+
+    wt, _ = jax.lax.scan(
+        jax.checkpoint(weight_body), jnp.zeros((n, P), dtype), taps
+    )
+    # border rule (reference :560)
+    keep = wt >= 0.5
+    s = slices.reshape(n, P)
+    if slices_mask is not None:
+        keep = keep & slices_mask.reshape(n, P)
+    s_eff = jnp.where(keep, s, 0.0)
+    inv_wt = jnp.where(keep, 1.0 / jnp.where(keep, wt, 1.0), 0.0)
+    inv_wt = jax.lax.stop_gradient(inv_wt)  # weight normalization is data-independent
+
+    # ---- pass 2: splat (reference :564-665) ----
+    def splat_body(carry, tap):
+        vol_acc, vw_acc = carry
+        off = tap[:3]
+        pv = tap[3]
+        rot_off = jnp.einsum("nij,j->ni", R, off)
+        pos = centers + rot_off[:, None, :]
+        valid = (
+            (pos[..., 0] >= 0)
+            & (pos[..., 1] >= 0)
+            & (pos[..., 2] >= 0)
+            & (pos[..., 0] < W - 1)
+            & (pos[..., 1] < H - 1)
+            & (pos[..., 2] < D - 1)
+        )
+        pos_c = jnp.clip(pos, 0.0, jnp.array([W - 1, H - 1, D - 1], dtype=dtype) - 1e-6)
+        if interp_psf:
+            rel = jnp.round(pos) - centers
+            pv_eff = _resample_psf(psf_flat, psf_shape, rel, R) * inv_wt
+            idx = (
+                jnp.round(pos_c[..., 2]).astype(jnp.int32) * (H * W)
+                + jnp.round(pos_c[..., 1]).astype(jnp.int32) * W
+                + jnp.round(pos_c[..., 0]).astype(jnp.int32)
+            )
+            cm = 1.0 if vmask_flat is None else jnp.take(vmask_flat, idx).astype(dtype)
+            contrib = jnp.where(valid, pv_eff * cm, 0.0)
+            vol_acc = vol_acc.at[idx.reshape(-1)].add((contrib * s_eff).reshape(-1))
+            vw_acc = vw_acc.at[idx.reshape(-1)].add(contrib.reshape(-1))
+        else:
+            base, frac = _trilinear_weights(pos_c)
+            pv_eff = pv * inv_wt  # (n, P)
+            for dx, dy, dz, cw in _corner_iter(frac):
+                idx = (
+                    (base[..., 2] + dz) * (H * W)
+                    + (base[..., 1] + dy) * W
+                    + (base[..., 0] + dx)
+                )
+                cm = 1.0 if vmask_flat is None else jnp.take(vmask_flat, idx).astype(dtype)
+                contrib = jnp.where(valid, pv_eff * cw * cm, 0.0)
+                vol_acc = vol_acc.at[idx.reshape(-1)].add((contrib * s_eff).reshape(-1))
+                vw_acc = vw_acc.at[idx.reshape(-1)].add(contrib.reshape(-1))
+        return (vol_acc, vw_acc), None
+
+    init = (
+        jnp.zeros(D * H * W, dtype),
+        jnp.zeros(D * H * W, dtype),
+    )
+    (vol_acc, vw_acc), _ = jax.lax.scan(jax.checkpoint(splat_body), init, taps)
+
+    if equalize:
+        vol_acc = _equalize(vol_acc, vw_acc)
+
+    vol_out = vol_acc.reshape(1, 1, D, H, W)
+    vw_out = vw_acc.reshape(1, 1, D, H, W)
+    if return_weight:
+        return vol_out, vw_out
+    return vol_out
+
+
+def slice_acquisition_adjoint(
+    transforms: jnp.ndarray,
+    psf: jnp.ndarray,
+    slices: jnp.ndarray,
+    slices_mask: Optional[jnp.ndarray],
+    vol_mask: Optional[jnp.ndarray],
+    vol_shape: Tuple[int, int, int],
+    res_slice: float,
+    interp_psf: bool,
+    equalize: bool,
+    return_weight: bool = False,
+):
+    """Adjoint splat slices -> volume (reference slice_acq.py:193-211)."""
+    vol_mask, slices_mask = _normalize_masks(vol_mask, slices_mask)
+    vol_mask3d = None if vol_mask is None else _as_vol3d(vol_mask)
+    psf_shape = tuple(psf.shape)
+    taps = jnp.concatenate(
+        [jnp.asarray(_tap_offsets(psf_shape)), psf.reshape(-1, 1)], axis=1
+    )
+    return _adjoint_impl(
+        transforms,
+        psf.reshape(-1),
+        taps,
+        slices,
+        slices_mask,
+        vol_mask3d,
+        tuple(int(s) for s in vol_shape),
+        float(res_slice),
+        bool(interp_psf),
+        bool(equalize),
+        psf_shape,
+        bool(return_weight),
+    )

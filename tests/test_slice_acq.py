@@ -1,0 +1,202 @@
+"""Slice-acquisition projector tests.
+
+Ports the reference's key numerical test (tests/slice_acquisition/
+test_slice_acq.py:11-81): simulate 16 stacks of a 32^3 Shepp-Logan phantom
+at known rotations, then verify 20-iteration CG SRR recovers the phantom —
+this only converges if At is the true adjoint of A. Adds gradient
+finite-difference checks the reference never had (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nesvor_tpu.ops.slice_acq import slice_acquisition, slice_acquisition_adjoint
+from nesvor_tpu.svort.srr import SRR
+from nesvor_tpu.transform import RigidTransform, mat_update_resolution
+from nesvor_tpu.utils import get_psf
+from tests.helpers import assert_close
+from tests.phantom3d import phantom3d
+
+
+def get_cg_recon_test_data():
+    vs = 32
+    gap = s_thick = 3
+    res = 1
+    res_s = 1.5
+    n_slice = int((np.sqrt(3) * vs) / gap) + 4
+    ss = int((np.sqrt(3) * vs) / res_s) + 4
+
+    volume = jnp.asarray(phantom3d(n=vs), dtype=jnp.float32)[None, None]
+    psf = jnp.asarray(get_psf(res_ratio=(res_s / res, res_s / res, s_thick / res)))
+    angles = [
+        [0, 0, 0],
+        [np.pi / 2, 0, 0],
+        [0, np.pi / 2, 0],
+        [0, 0, np.pi / 2],
+        [np.pi / 4, np.pi / 4, 0],
+        [0, np.pi / 4, np.pi / 4],
+        [np.pi / 4, 0, np.pi / 4],
+        [np.pi / 3, np.pi / 3, 0],
+        [0, np.pi / 3, np.pi / 3],
+        [np.pi / 3, 0, np.pi / 3],
+        [2 * np.pi / 3, 2 * np.pi / 3, 0],
+        [0, 2 * np.pi / 3, 2 * np.pi / 3],
+        [2 * np.pi / 3, 0, 2 * np.pi / 3],
+        [np.pi / 5, np.pi / 5, 0],
+        [0, np.pi / 5, np.pi / 5],
+        [np.pi / 5, 0, np.pi / 5],
+    ]
+
+    stacks = []
+    transforms = []
+    for i in range(len(angles)):
+        angle = np.tile(np.asarray(angles[i], dtype=np.float32), (n_slice, 1))
+        tz = (np.arange(n_slice, dtype=np.float32) - (n_slice - 1) / 2.0) * gap
+        tx = ty = np.ones_like(tz) * 0.5
+        t = np.stack((tx, ty, tz), -1)
+        transform = RigidTransform(
+            jnp.asarray(np.concatenate((angle, t), -1)), trans_first=True
+        )
+        mat = mat_update_resolution(transform.matrix(), 1, res)
+        slices = slice_acquisition(
+            mat, volume, None, None, psf, (ss, ss), res_s / res, False, False
+        )
+        stacks.append(slices)
+        transforms.append(transform)
+    params = {
+        "psf": psf,
+        "slice_shape": (ss, ss),
+        "res_s": res_s,
+        "res_r": res,
+        "interp_psf": False,
+        "volume_shape": (vs, vs, vs),
+    }
+    return jnp.concatenate(stacks, 0), RigidTransform.cat(transforms), volume, params
+
+
+def test_cg_recon():
+    slices, transforms, volume, params = get_cg_recon_test_data()
+    srr = SRR(n_iter=20, use_CG=True, tol=1e-8)
+    theta = mat_update_resolution(transforms.matrix(), 1, params["res_r"])
+    volume_ = srr(theta, slices, volume, params)
+    assert_close(volume_, volume, atol=3e-5, rtol=1e-5)
+
+
+def test_cg_recon_from_scratch():
+    """Stronger than the reference test (which seeds CG with the ground
+    truth): reconstruct from a zero initial volume and verify recovery."""
+    slices, transforms, volume, params = get_cg_recon_test_data()
+    srr = SRR(n_iter=20, use_CG=True, tol=1e-10)
+    theta = mat_update_resolution(transforms.matrix(), 1, params["res_r"])
+    volume_ = srr(theta, slices, jnp.zeros_like(volume), params)
+    err = np.abs(np.asarray(volume_ - volume))
+    inside = np.asarray(volume[0, 0]) != 0
+    assert err[0, 0][inside].mean() < 2e-3, err[0, 0][inside].mean()
+
+
+def _tiny_problem():
+    vs = 8
+    volume = jnp.asarray(
+        np.random.default_rng(0).normal(size=(vs, vs, vs)), dtype=jnp.float32
+    )[None, None]
+    psf = jnp.asarray(get_psf(res_ratio=(1.0, 1.0, 2.0)))
+    ax = jnp.asarray(
+        [[0.3, -0.1, 0.2, 0.5, -0.4, 0.3], [0.0, 0.5, -0.2, 0.1, 0.2, -0.6]],
+        dtype=jnp.float32,
+    )
+    from nesvor_tpu.transform import axisangle2mat
+
+    mats = axisangle2mat(ax)
+    return volume, psf, mats, (6, 6)
+
+
+def test_forward_grad_vol_finite_diff():
+    volume, psf, mats, ss = _tiny_problem()
+
+    def f(v):
+        out = slice_acquisition(mats, v, None, None, psf, ss, 1.0, False, False)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape) * 0.1))
+
+    g = jax.grad(f)(volume)
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        dv = jnp.asarray(rng.normal(size=volume.shape), dtype=jnp.float32)
+        eps = 1e-3
+        fd = (f(volume + eps * dv) - f(volume - eps * dv)) / (2 * eps)
+        an = jnp.vdot(g, dv)
+        assert_close(an, fd, atol=2e-2, rtol=2e-2)
+
+
+def test_forward_grad_transform_finite_diff():
+    volume, psf, mats, ss = _tiny_problem()
+
+    def f(m):
+        out = slice_acquisition(m, volume, None, None, psf, ss, 1.0, False, False)
+        return jnp.sum(out * jnp.sin(jnp.arange(out.size).reshape(out.shape) * 0.05))
+
+    g = jax.grad(f)(mats)
+    rng = np.random.default_rng(2)
+    with jax.enable_x64(True):
+        mats64 = mats.astype(jnp.float64)
+        vol64 = volume.astype(jnp.float64)
+        psf64 = psf.astype(jnp.float64)
+
+        def f64(m):
+            out = slice_acquisition(m, vol64, None, None, psf64, ss, 1.0, False, False)
+            return jnp.sum(
+                out * jnp.sin(jnp.arange(out.size).reshape(out.shape) * 0.05)
+            )
+
+        g64 = jax.grad(f64)(mats64)
+        for _ in range(3):
+            dm = jnp.asarray(rng.normal(size=mats.shape))
+            eps = 1e-6
+            fd = (f64(mats64 + eps * dm) - f64(mats64 - eps * dm)) / (2 * eps)
+            an = jnp.vdot(g64, dm)
+            assert_close(an, fd, atol=1e-4, rtol=1e-4)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_adjoint_grad_slices_finite_diff():
+    volume, psf, mats, ss = _tiny_problem()
+    vs = volume.shape[-1]
+    slices = slice_acquisition(mats, volume, None, None, psf, ss, 1.0, False, False)
+
+    def f(s):
+        v = slice_acquisition_adjoint(
+            mats, psf, s, None, None, (vs, vs, vs), 1.0, False, True
+        )
+        return jnp.sum(v * jnp.cos(jnp.arange(v.size).reshape(v.shape) * 0.07))
+
+    g = jax.grad(f)(slices)
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        ds = jnp.asarray(rng.normal(size=slices.shape), dtype=jnp.float32)
+        eps = 1e-3
+        fd = (f(slices + eps * ds) - f(slices - eps * ds)) / (2 * eps)
+        an = jnp.vdot(g, ds)
+        assert_close(an, fd, atol=2e-2, rtol=2e-2)
+
+
+def test_forward_adjoint_consistency():
+    """<A x, y> == <x, At y> for the unnormalized operators is not exactly
+    true (both sides normalize by PSF weights), but CG convergence in
+    test_cg_recon is the reference's own proof of consistency; here we check
+    the adjoint reproduces the phantom support."""
+    slices, transforms, volume, params = get_cg_recon_test_data()
+    theta = mat_update_resolution(transforms.matrix(), 1, params["res_r"])
+    vol_rec = slice_acquisition_adjoint(
+        theta,
+        params["psf"],
+        slices,
+        None,
+        None,
+        params["volume_shape"],
+        params["res_s"] / params["res_r"],
+        False,
+        True,
+    )
+    mask = np.asarray(volume[0, 0]) > 0.5
+    err = np.abs(np.asarray(vol_rec[0, 0]) - np.asarray(volume[0, 0]))[mask]
+    assert err.mean() < 0.1
