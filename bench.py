@@ -1,0 +1,97 @@
+"""Benchmark: 8-stack phantom reconstruction, 5000 training iterations.
+
+Mirrors the driver-defined north star (BASELINE.json): wall-clock of a
+5000-iteration NeSVoR training run on 8 synthetic stacks at default
+hyperparameters (batch 4096 x 256 PSF samples, bf16 compute), plus the
+phantom PSNR of the sampled output volume.
+
+The reference repo publishes no numbers (BASELINE.md); ``vs_baseline`` is
+reported against a nominal 300 s A100 wall-clock for the same workload
+(NeSVoR paper: "a few minutes" per reconstruction; tiny-cuda-nn 6k-iter
+training at these batch sizes sits in the 2-6 min range on A100).
+vs_baseline > 1 means faster than that nominal reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import sys
+import time
+from argparse import Namespace
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NOMINAL_A100_WALL_S = 300.0
+
+
+def main():
+    from tests.synth import make_phantom_stacks, stacks_to_slices, psnr
+    from nesvor_tpu.nesvor.train import train
+    from nesvor_tpu.nesvor.sample import sample_volume
+
+    n_iter = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+
+    stacks, gt_volume = make_phantom_stacks(
+        vs=96, n_stacks=8, gap=3.0, res=1.0, res_s=1.0, intensity=700.0
+    )
+    slices = stacks_to_slices(stacks)
+
+    args = Namespace(
+        n_features_per_level=2, log2_hashmap_size=19, level_scale=1.3819,
+        coarsest_resolution=16.0, finest_resolution=0.5, n_levels_bias=0,
+        depth=1, width=64, n_features_z=15, n_features_slice=16,
+        no_transformation_optimization=False, no_slice_scale=False,
+        no_pixel_variance=False, no_slice_variance=False, single_precision=False,
+        weight_transformation=0.1, weight_bias=100.0,
+        image_regularization="edge", weight_image=2.0, delta=0.2,
+        learning_rate=5e-3, gamma=0.33, milestones=[0.5, 0.75, 0.9],
+        n_iter=n_iter, batch_size=4096, n_samples=256,
+        seed=0, mask_threshold=1.0,
+    )
+
+    t0 = time.time()
+    model, out_slices, mask = train(slices, args)
+    jax.block_until_ready(model.params)
+    train_s = time.time() - t0
+
+    # sample the output volume at the phantom's grid for PSNR
+    args.output_resolution = 0.8
+    args.inference_batch_size = 8 * args.batch_size
+    args.n_inference_samples = 2 * args.n_samples
+    args.no_output_psf = False
+    t1 = time.time()
+    vol = sample_volume(model, mask, args)
+    sample_s = time.time() - t1
+
+    # PSNR on the phantom grid: evaluate INR at ground-truth voxel centers
+    from nesvor_tpu.nesvor.sample import sample_points
+
+    vs = gt_volume.shape[0]
+    coords = (np.stack(
+        np.meshgrid(np.arange(vs), np.arange(vs), np.arange(vs), indexing="ij"),
+        -1,
+    )[..., ::-1] - (vs - 1) / 2).astype(np.float32)  # (z,y,x, 3[xyz]) in mm (res 1)
+    pred = sample_points(model, jnp.asarray(coords.reshape(-1, 3)), args)
+    gt = np.asarray(gt_volume).reshape(-1)
+    inside = gt > 0
+    p = psnr(np.asarray(pred), gt, inside)
+
+    result = {
+        "metric": f"phantom 8-stack reconstruct wall-clock ({n_iter} iters)",
+        "value": round(train_s, 2),
+        "unit": "s",
+        "vs_baseline": round(NOMINAL_A100_WALL_S / train_s, 3),
+        "psnr_db": round(p, 2),
+        "sample_volume_s": round(sample_s, 2),
+        "iters_per_s": round(n_iter / train_s, 2),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

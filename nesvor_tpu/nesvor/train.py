@@ -297,10 +297,16 @@ def train(
         cfg, bounding_box, loss_weights, tx, args.batch_size, n_pixels
     )
 
-    # chunk boundaries: LR milestones + final step (reference logs at
-    # milestones, train.py:203-221)
-    milestones = sorted(int(m * args.n_iter) for m in args.milestones)
-    boundaries = [m for m in milestones if 0 < m < args.n_iter] + [args.n_iter]
+    # fixed-size dispatch chunks: LR milestones live inside the optax
+    # schedule (step count in opt_state), so chunking only sets the
+    # logging cadence and bounds a single device dispatch (very long scans
+    # can trip runtime watchdogs); all full chunks share one compilation.
+    max_chunk = int(getattr(args, "max_chunk_steps", 0) or 0)
+    if max_chunk <= 0:
+        max_chunk = max(1, min(250, args.n_iter))
+    boundaries = list(range(max_chunk, args.n_iter + 1, max_chunk))
+    if not boundaries or boundaries[-1] != args.n_iter:
+        boundaries.append(args.n_iter)
     average = MovingAverage(1 - 0.001)
     train_logger: Optional[TrainLogger] = None
 

@@ -1,0 +1,105 @@
+"""Synthetic fetal-like test data: phantom volume -> motion-free multi-stack
+acquisitions via the PSF projector (the recipe of reference
+tests/slice_acquisition/test_slice_acq.py:13-74, used as the data generator
+for end-to-end reconstruction tests and the benchmark)."""
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from nesvor_tpu.image import Slice, Stack
+from nesvor_tpu.ops.slice_acq import slice_acquisition
+from nesvor_tpu.transform import RigidTransform, mat_update_resolution
+from nesvor_tpu.utils import get_psf
+
+from .phantom3d import phantom3d
+
+
+def make_phantom_stacks(
+    vs: int = 64,
+    n_stacks: int = 8,
+    gap: float = 3.0,
+    res: float = 1.0,
+    res_s: float = 1.0,
+    intensity: float = 700.0,
+    rng_seed: Optional[int] = None,
+    motion_std: Tuple[float, float] = (0.0, 0.0),
+) -> Tuple[List[Stack], jnp.ndarray]:
+    """Simulate ``n_stacks`` stacks of a vs^3 phantom at distinct orientations.
+
+    Returns (stacks, ground-truth volume (vs, vs, vs) in world res ``res``).
+    ``motion_std`` = (rot_std_radians, trans_std_mm) adds per-slice rigid
+    motion to make registration non-trivial.
+    """
+    volume = jnp.asarray(phantom3d(n=vs), dtype=jnp.float32) * intensity
+    vol_in = volume[None, None]
+    s_thick = gap
+    n_slice = int((np.sqrt(3) * vs * res) / gap) + 4
+    ss = int((np.sqrt(3) * vs * res) / res_s) + 4
+    psf = jnp.asarray(get_psf(res_ratio=(res_s / res, res_s / res, s_thick / res)))
+
+    base_angles = [
+        [0, 0, 0],
+        [np.pi / 2, 0, 0],
+        [0, np.pi / 2, 0],
+        [0, 0, np.pi / 2],
+        [np.pi / 4, np.pi / 4, 0],
+        [0, np.pi / 4, np.pi / 4],
+        [np.pi / 4, 0, np.pi / 4],
+        [np.pi / 3, np.pi / 3, 0],
+        [0, np.pi / 3, np.pi / 3],
+        [np.pi / 3, 0, np.pi / 3],
+    ]
+    rng = np.random.default_rng(rng_seed if rng_seed is not None else 0)
+
+    stacks = []
+    for i in range(n_stacks):
+        angle = np.tile(np.asarray(base_angles[i % len(base_angles)], np.float32), (n_slice, 1))
+        tz = (np.arange(n_slice, dtype=np.float32) - (n_slice - 1) / 2.0) * gap
+        tx = ty = np.full_like(tz, 0.5)
+        ax = np.concatenate([angle, np.stack((tx, ty, tz), -1)], -1)
+        if motion_std[0] or motion_std[1]:
+            ax[:, :3] += rng.normal(0, motion_std[0], size=(n_slice, 3))
+            ax[:, 3:] += rng.normal(0, motion_std[1], size=(n_slice, 3))
+        transform = RigidTransform(jnp.asarray(ax), trans_first=True)
+        mat = mat_update_resolution(transform.matrix(), 1, res)
+        slices = slice_acquisition(
+            mat, vol_in, None, None, psf, (ss, ss), res_s / res, False, False
+        )
+        stacks.append(
+            Stack(
+                slices=slices,
+                mask=slices > 0,
+                transformation=transform,
+                resolution_x=res_s,
+                resolution_y=res_s,
+                thickness=s_thick,
+                gap=gap,
+            )
+        )
+    return stacks, volume
+
+
+def stacks_to_slices(stacks: List[Stack]) -> List[Slice]:
+    """Flatten stacks to the Slice list shape the trainer consumes
+    (mirrors the tail of reference svort/inference.py:555-562, without the
+    q99 renormalization so intensities stay comparable to the phantom)."""
+    slices = []
+    for stack in stacks:
+        mask_np = np.asarray(stack.mask)
+        nonempty = mask_np.reshape(mask_np.shape[0], -1).any(1)
+        for i in np.nonzero(nonempty)[0]:
+            slices.append(stack[int(i)])
+    return slices
+
+
+def psnr(a: np.ndarray, b: np.ndarray, mask: Optional[np.ndarray] = None) -> float:
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if mask is not None:
+        a = a[mask]
+        b = b[mask]
+    mse = np.mean((a - b) ** 2)
+    peak = b.max() - b.min()
+    return float(10 * np.log10(peak**2 / mse))
