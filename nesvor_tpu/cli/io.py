@@ -56,7 +56,11 @@ def load_model(path: str, args: Namespace) -> Tuple[INRModel, Volume, Namespace]
     with open(path, "rb") as f:
         cp = pickle.load(f)
     cfg_dict = dict(cp["model"]["cfg"])
-    cfg_dict["compute_dtype"] = jnp.dtype(cfg_dict["compute_dtype"])
+    cfg_dict["compute_dtype"] = {
+        "bfloat16": jnp.bfloat16,
+        "float32": jnp.float32,
+        "float16": jnp.float16,
+    }[str(cfg_dict["compute_dtype"])]
     cfg_dict["level_resolutions"] = tuple(cfg_dict["level_resolutions"])
     cfg = INRConfig(**cfg_dict)
     model = INRModel(

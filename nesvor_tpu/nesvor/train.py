@@ -301,9 +301,12 @@ def train(
     # schedule (step count in opt_state), so chunking only sets the
     # logging cadence and bounds a single device dispatch (very long scans
     # can trip runtime watchdogs); all full chunks share one compilation.
+    # NOTE: the remote-TPU execution path kills device programs that run for
+    # many minutes, so the chunk must stay well under that at current step
+    # cost; raise once the encoder kernel work (PERF.md) lands.
     max_chunk = int(getattr(args, "max_chunk_steps", 0) or 0)
     if max_chunk <= 0:
-        max_chunk = max(1, min(250, args.n_iter))
+        max_chunk = max(1, min(25, args.n_iter))
     boundaries = list(range(max_chunk, args.n_iter + 1, max_chunk))
     if not boundaries or boundaries[-1] != args.n_iter:
         boundaries.append(args.n_iter)
@@ -311,6 +314,10 @@ def train(
     train_logger: Optional[TrainLogger] = None
 
     import time
+
+    from ..utils import LazyLog, log_params
+
+    logging.debug(LazyLog(lambda: log_params(params)))
 
     start = time.time()
     done = 0
@@ -320,11 +327,22 @@ def train(
         if n_steps <= 0:
             continue
         key, k_chunk = jax.random.split(key)
-        params, opt_state, losses = run_chunk(
-            params, opt_state, consts, data, k_chunk, n_steps
-        )
+        with jax.profiler.StepTraceAnnotation("train_chunk", step_num=done):
+            params, opt_state, losses = run_chunk(
+                params, opt_state, consts, data, k_chunk, n_steps
+            )
         done = b
         losses = jax.tree_util.tree_map(np.asarray, losses)
+        if getattr(args, "debug", False):
+            # reference --debug NaN scan (train.py:191-194), applied to the
+            # updated params instead of per-step grads (grads live on-device
+            # inside the scan)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+                if not bool(jnp.all(jnp.isfinite(leaf))):
+                    name = "/".join(str(getattr(p, "key", p)) for p in path)
+                    logging.debug(
+                        "iter %d: found non-finite values in %s", done, name
+                    )
         for k in losses:
             # feed the EMA with the per-step history of this chunk
             for val in losses[k]:

@@ -55,7 +55,6 @@ def log_params(params) -> str:
         n = int(np.prod(leaf.shape)) if hasattr(leaf, "shape") else 1
         total += n
         rows.append(f"  {name:<60s} {str(getattr(leaf, 'shape', ())):<20s} {n:>12d}")
-    header = f"{'parameter':<62s} {'shape':<20s} {'numel':>12d}".replace("%d", "")
     return (
         "model parameters:\n"
         + f"  {'name':<60s} {'shape':<20s} {'count':>12s}\n"

@@ -82,13 +82,16 @@ def make_phantom_stacks(
 
 
 def stacks_to_slices(stacks: List[Stack]) -> List[Slice]:
-    """Flatten stacks to the Slice list shape the trainer consumes
-    (mirrors the tail of reference svort/inference.py:555-562, without the
-    q99 renormalization so intensities stay comparable to the phantom)."""
+    """Flatten stacks to the Slice list shape the trainer consumes,
+    including the q99 intensity normalization the registration pipeline
+    always applies before training (reference svort/inference.py:555-562) —
+    the INR converges from softplus(0) ~ 0.7, so v must be O(1)."""
     slices = []
     for stack in stacks:
         mask_np = np.asarray(stack.mask)
         nonempty = mask_np.reshape(mask_np.shape[0], -1).any(1)
+        q99 = jnp.quantile(stack.slices[stack.mask], 0.99)
+        stack.slices = stack.slices / q99
         for i in np.nonzero(nonempty)[0]:
             slices.append(stack[int(i)])
     return slices

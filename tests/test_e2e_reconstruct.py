@@ -1,0 +1,108 @@
+"""End-to-end CLI test: phantom stacks -> NIfTI -> `nesvor reconstruct` ->
+output volume PSNR + model checkpoint round-trip through `sample-volume`.
+
+The reference has no end-to-end tests (SURVEY.md §4: "no golden-file or
+end-to-end CLI tests"); this closes that gap with the phantom PSNR
+north-star metric at a CPU-friendly size.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from nesvor_tpu.cli.main import main as cli_main
+from nesvor_tpu.image import load_volume, save_nii_volume
+from nesvor_tpu.image.image_utils import transformation2affine
+from tests.synth import make_phantom_stacks, psnr
+
+
+def _save_stacks(stacks, folder):
+    paths = []
+    for i, stack in enumerate(stacks):
+        path = os.path.join(folder, f"stack{i}.nii.gz")
+        # bake per-stack affine: all slices share rotation; mid-slice transform
+        # with z-gap encoded via the affine's third column
+        from nesvor_tpu.transform import RigidTransform
+
+        ax = np.asarray(stack.transformation.axisangle())
+        vol = np.asarray(stack.slices[:, 0])  # (n, h, w)
+        # volume-level transform: shared rotation + mean translation (the
+        # per-slice tz offsets are symmetric around 0, so the mean recovers
+        # the stack-center pose exactly)
+        ax_vol = np.concatenate([ax[:1, :3], ax[:, 3:].mean(0, keepdims=True)], -1)
+        affine = transformation2affine(
+            (vol.shape[0], vol.shape[1], vol.shape[2]),
+            RigidTransform(jnp.asarray(ax_vol.astype(np.float32))),
+            stack.resolution_x,
+            stack.resolution_y,
+            stack.gap,
+        )
+        save_nii_volume(path, jnp.asarray(vol), affine)
+        paths.append(path)
+    return paths
+
+
+def test_reconstruct_cli(tmp_path):
+    stacks, gt = make_phantom_stacks(
+        vs=32, n_stacks=4, gap=3.0, res=1.0, res_s=1.0, intensity=700.0
+    )
+    folder = str(tmp_path)
+    paths = _save_stacks(stacks, folder)
+    out_vol = os.path.join(folder, "out.nii.gz")
+    out_model = os.path.join(folder, "model.pt")
+
+    cli_main(
+        [
+            "reconstruct",
+            "--input-stacks", *paths,
+            "--registration", "none",
+            "--output-volume", out_vol,
+            "--output-model", out_model,
+            "--n-iter", "300",
+            "--batch-size", "512",
+            "--n-samples", "16",
+            "--output-resolution", "1.0",
+            "--output-intensity-mean", "700.0",
+            "--inference-batch-size", "8192",
+            "--n-inference-samples", "32",
+            "--seed", "0",
+            "--verbose", "0",
+        ]
+    )
+    assert os.path.exists(out_vol)
+    assert os.path.exists(out_model)
+
+    recon = load_volume(out_vol)
+    # compare on the phantom grid: sample recon at ground-truth voxel centers
+    vs = gt.shape[0]
+    grid = (
+        np.stack(
+            np.meshgrid(np.arange(vs), np.arange(vs), np.arange(vs), indexing="ij"),
+            -1,
+        )[..., ::-1]
+        - (vs - 1) / 2
+    ).astype(np.float32)
+    vals = recon.sample_points(jnp.asarray(grid.reshape(-1, 3)))
+    gt_flat = np.asarray(gt).reshape(-1)
+    inside = gt_flat > 0
+    # rescaled output: normalize both to unit mean before PSNR
+    v = np.asarray(vals)
+    v = v * (gt_flat[inside].mean() / max(v[inside].mean(), 1e-6))
+    p = psnr(v, gt_flat, inside)
+    assert p > 15.0, f"PSNR too low: {p:.2f} dB"
+
+    # sample-volume from the saved model must also work
+    out_vol2 = os.path.join(folder, "out2.nii.gz")
+    cli_main(
+        [
+            "sample-volume",
+            "--input-model", out_model,
+            "--output-volume", out_vol2,
+            "--output-resolution", "1.5",
+            "--inference-batch-size", "8192",
+            "--n-inference-samples", "32",
+            "--verbose", "0",
+        ]
+    )
+    assert os.path.exists(out_vol2)

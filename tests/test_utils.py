@@ -1,0 +1,67 @@
+"""PSF / NCC / blur / meshgrid utility tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from nesvor_tpu.utils import (
+    GAUSSIAN_FWHM,
+    SINC_FWHM,
+    gaussian_blur,
+    get_psf,
+    meshgrid,
+    ncc_loss,
+    resolution2sigma,
+)
+from tests.helpers import assert_close
+
+
+def test_constants():
+    # reference nesvor/utils/psf.py:5-6
+    assert abs(GAUSSIAN_FWHM - 1 / (2 * np.sqrt(2 * np.log(2)))) < 1e-12
+    assert abs(SINC_FWHM - 1.206709128803223 * GAUSSIAN_FWHM) < 1e-12
+
+
+def test_resolution2sigma_forms():
+    s = resolution2sigma(2.0, isotropic=True)
+    assert abs(s - 2.0 * GAUSSIAN_FWHM) < 1e-6
+    sx, sy, sz = resolution2sigma((1.0, 1.0, 3.0), isotropic=False)
+    assert abs(sx - SINC_FWHM) < 1e-6
+    assert abs(sz - 3 * GAUSSIAN_FWHM) < 1e-6
+    arr = resolution2sigma(jnp.asarray([[1.0, 1.0, 3.0]]), isotropic=False)
+    assert_close(arr, [[SINC_FWHM, SINC_FWHM, 3 * GAUSSIAN_FWHM]], atol=1e-6, rtol=1e-5)
+
+
+def test_get_psf():
+    psf = get_psf(res_ratio=(1.5, 1.5, 3.0))
+    assert psf.ndim == 3
+    assert abs(psf.sum() - 1.0) < 1e-6
+    # odd support, symmetric
+    assert all(s % 2 == 1 for s in psf.shape)
+    assert_close(psf, psf[::-1, ::-1, ::-1], atol=1e-7, rtol=1e-6)
+
+
+def test_ncc_identical_images():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, 1, 32, 32)).astype(np.float32))
+    # global NCC of an image with itself = 1 -> loss -1
+    loss = ncc_loss(img, img, win=None, reduction="mean")
+    assert_close(loss, -1.0, atol=1e-4, rtol=1e-4)
+    loss_w = ncc_loss(img, img, win=9, reduction="mean")
+    assert float(loss_w) < -0.9
+
+
+def test_meshgrid_centered():
+    grid = meshgrid((4, 3, 2), (1.0, 2.0, 3.0))
+    assert grid.shape == (2, 3, 4, 3)
+    # centered: mean of coordinates = 0
+    assert_close(grid.reshape(-1, 3).mean(0), [0.0, 0.0, 0.0], atol=1e-6, rtol=1e-5)
+    assert_close(grid[0, 0, :, 0], [-1.5, -0.5, 0.5, 1.5], atol=1e-6, rtol=1e-6)
+
+
+def test_gaussian_blur_preserves_mean():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(1, 2, size=(1, 1, 16, 16, 16)).astype(np.float32))
+    y = gaussian_blur(x, 1.0, 3.0)
+    assert y.shape == x.shape
+    # interior mean approximately preserved
+    assert abs(float(y[0, 0, 4:-4, 4:-4, 4:-4].mean() - x[0, 0, 4:-4, 4:-4, 4:-4].mean())) < 0.05

@@ -1,0 +1,46 @@
+"""VVR registration test (port of reference tests/svort/test_vvr.py:16-44,
+downsized from 128^3 to 64^3 so it runs on the CPU test mesh in reasonable
+time; same recovery tolerance)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from nesvor_tpu.svort.registration import VVR
+from nesvor_tpu.transform import RigidTransform
+from nesvor_tpu.utils import ncc_loss
+from tests.helpers import assert_close
+from tests.phantom3d import phantom3d
+
+
+def test_vvr():
+    phantom = jnp.asarray(phantom3d(n=64), jnp.float32)[None, None]
+    vvr = VVR(
+        num_levels=3,
+        num_steps=8,
+        step_size=2,
+        max_iter=20,
+        optimizer={"name": "gd", "momentum": 0.1},
+        loss=lambda s, x, y: ncc_loss(x[None], y[None], win=None, reduction="none"),
+        auto_grad=False,
+    )
+
+    trans_first = False
+    source = phantom
+    target = phantom
+
+    params = {"res_s": 1, "s_thick": 1.5}
+    ax = jnp.asarray([[0.4, 0.1, -0.6, 20, -50, 100]], jnp.float32)
+    t_target = jnp.asarray(
+        [[0.4 + 0.05, 0.1 - 0.05, -0.6 + 0.1, 20 + 3, -50 - 2, 100 + 1.5]],
+        jnp.float32,
+    )
+    t_target = RigidTransform(t_target, trans_first=trans_first)
+
+    ax_out, _ = vvr(ax, source, target, params, t_target, trans_first)
+
+    assert_close(
+        ax_out,
+        t_target.axisangle(trans_first=trans_first),
+        atol=1e-4,
+        rtol=1e-3,
+    )
