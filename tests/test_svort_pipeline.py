@@ -1,0 +1,76 @@
+"""Registration pipeline tests: SVoRT v1 forward (triplet runner) and the
+stack-registration (VVR) path of run_svort on tiny synthetic stacks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nesvor_tpu.image import Stack
+from tests.synth import make_phantom_stacks
+
+
+def test_svort_v1_forward_tiny():
+    from nesvor_tpu.svort.models import SVoRT, run_model
+    from nesvor_tpu.transform import RigidTransform
+
+    model = SVoRT(n_iter=1)
+    params = model.init(jax.random.PRNGKey(0))
+
+    n_slice, hw = 3, 32
+    stacks = [
+        jnp.asarray(
+            np.random.default_rng(i).uniform(0, 1, size=(n_slice, 1, hw, hw)),
+            jnp.float32,
+        )
+        for i in range(3)
+    ]
+    transforms = []
+    for i in range(3):
+        ax = np.zeros((n_slice, 6), np.float32)
+        ax[:, 5] = (np.arange(n_slice) - n_slice / 2) * 3.0
+        transforms.append(RigidTransform(jnp.asarray(ax)))
+
+    t_out, volume = run_model(
+        transforms, stacks, model, params, res_s=1.0, s_thick=3.0, res_r=1.0
+    )
+    assert len(t_out) == 3
+    assert t_out[0].matrix().shape == (n_slice, 3, 4)
+    assert bool(jnp.all(jnp.isfinite(t_out[0].matrix())))
+    assert bool(jnp.all(jnp.isfinite(volume)))
+
+
+def test_run_svort_stack_registration():
+    """--registration stack path: parse_data + multi-init VVR + final
+    normalization, on small misaligned stacks."""
+    from nesvor_tpu.svort.inference import run_svort
+
+    stacks, gt = make_phantom_stacks(
+        vs=24, n_stacks=2, gap=3.0, res=1.0, res_s=1.5, intensity=700.0
+    )
+    # misalign stack 1 by a small rigid offset
+    ax = np.asarray(stacks[1].transformation.axisangle())
+    ax[:, 3] += 1.5
+    from nesvor_tpu.transform import RigidTransform
+
+    stacks[1].transformation = RigidTransform(jnp.asarray(ax))
+
+    slices = run_svort(stacks, None, None, svort=False, vvr=True, force_vvr=False)
+    assert len(slices) > 0
+    v = jnp.concatenate([s.v_masked for s in slices])
+    # q99-normalized output
+    assert 0.5 < float(jnp.quantile(v, 0.99)) < 2.0
+    for s in slices[:3]:
+        assert bool(jnp.all(jnp.isfinite(s.transformation.axisangle())))
+
+
+def test_run_svort_none():
+    """--registration none path: normalization only."""
+    from nesvor_tpu.svort.inference import run_svort
+
+    stacks, _ = make_phantom_stacks(
+        vs=16, n_stacks=2, gap=3.0, res=1.0, res_s=1.0, intensity=700.0
+    )
+    slices = run_svort(stacks, None, None, svort=False, vvr=False, force_vvr=False)
+    assert len(slices) == sum(
+        int(np.asarray(s.mask).reshape(len(s.mask), -1).any(1).sum()) for s in stacks
+    )
