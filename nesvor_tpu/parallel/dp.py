@@ -22,7 +22,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 import optax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..nesvor.models import NeSVoRConfig, nesvor_loss
@@ -78,7 +78,6 @@ def make_dp_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(), P("dp"), P()),
         out_specs=(P(), P(), P()),
-        check_vma=False,
     )
     def step(params, opt_state, consts, data, key):
         dev = jax.lax.axis_index("dp")

@@ -125,9 +125,30 @@ class Registration:
         loss = self.loss(warped, tgt)
         return loss.reshape(loss.shape[0], -1).mean(1)
 
+    def _evaluate_grouped(self, theta_big, source, target, n_groups, N):
+        """Evaluate a (n_groups*N)-row parameter batch with ONE warp, but
+        apply the loss per N-sized group so custom loss callables keep the
+        reference's batch contract (they see exactly the original batch)."""
+        if source.shape[0] not in (1, theta_big.shape[0]):
+            reps = (theta_big.shape[0] // source.shape[0],) + (1,) * (source.ndim - 1)
+            source = jnp.tile(source, reps)
+        if target.shape[0] not in (1, theta_big.shape[0]):
+            reps = (theta_big.shape[0] // target.shape[0],) + (1,) * (target.ndim - 1)
+            target = jnp.tile(target, reps)
+        warped, tgt = self.warp(theta_big, source, target)
+        losses = []
+        for g in range(n_groups):
+            w = warped[g * N : (g + 1) * N]
+            t = tgt[g * N : (g + 1) * N]
+            loss = self.loss(w, t)
+            losses.append(loss.reshape(loss.shape[0], -1).mean(1))
+        return jnp.stack(losses, 0)  # (n_groups, N) or (n_groups, 1)
+
     def grad(self, theta, source, target, step_size):
         """Loss + gradient. auto_grad uses JAX autodiff; otherwise a batched
-        central difference: one evaluate over (N*(1+12)) parameter rows."""
+        central difference: ONE warp over (N*(1+12)) parameter rows (the
+        reference evaluates 13 times sequentially, registration.py:140-155),
+        with the loss applied per group to keep its batch semantics."""
         if self.auto_grad:
             loss = self.evaluate(theta, source, target)
             grads = jax.grad(lambda t: self.evaluate(t, source, target).sum())(theta)
@@ -135,22 +156,13 @@ class Registration:
         N = theta.shape[0]
         eye = jnp.eye(6, dtype=theta.dtype) * step_size
         pert = jnp.concatenate([eye, -eye], 0)  # (12, 6): +e_j then -e_j
-        # rows: [theta (N) | per-sample perturbations, n-major (N*12)]
+        # rows: [theta (N) | group g = theta + pert[g-1] (12 groups of N)]
         big = jnp.concatenate(
-            [theta, (theta[:, None, :] + pert[None]).reshape(N * 12, 6)], 0
+            [theta, (theta[None, :, :] + pert[:, None, :]).reshape(12 * N, 6)], 0
         )
-        if source.shape[0] == 1:
-            src = source
-        else:
-            src = jnp.concatenate([source, jnp.repeat(source, 12, axis=0)], 0)
-        if target.shape[0] == 1:
-            tgt = target
-        else:
-            tgt = jnp.concatenate([target, jnp.repeat(target, 12, axis=0)], 0)
-        losses = self.evaluate(big, src, tgt)
-        loss = losses[:N]
-        pert_losses = losses[N:].reshape(N, 12)
-        grad = pert_losses[:, :6] - pert_losses[:, 6:]
+        losses = self._evaluate_grouped(big, source, target, 13, N)  # (13, N)
+        loss = losses[0]
+        grad = (losses[1:7] - losses[7:13]).T  # (N, 6)
         return loss, grad
 
     def optimizer_step(self, grad, active, first):

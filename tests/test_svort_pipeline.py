@@ -48,7 +48,7 @@ def test_run_svort_stack_registration():
         vs=24, n_stacks=2, gap=3.0, res=1.0, res_s=1.5, intensity=700.0
     )
     # misalign stack 1 by a small rigid offset
-    ax = np.asarray(stacks[1].transformation.axisangle())
+    ax = np.array(stacks[1].transformation.axisangle())
     ax[:, 3] += 1.5
     from nesvor_tpu.transform import RigidTransform
 
