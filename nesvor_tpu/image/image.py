@@ -80,11 +80,12 @@ class Image:
             self.resolution_y,
             self.resolution_z,
         )
+        # host-side masking: a device op here would recompile per distinct
+        # slice shape when saving slice folders
+        img_np = np.asarray(self.image)
         if masked:
-            out = self.image * self.mask.astype(self.image.dtype)
-        else:
-            out = self.image
-        save_nii_volume(path, out, affine)
+            img_np = img_np * np.asarray(self.mask).astype(img_np.dtype)
+        save_nii_volume(path, img_np, affine)
 
     @property
     def xyz_masked(self) -> jnp.ndarray:

@@ -67,13 +67,20 @@ class Dataset:
         transformation_all = []
         resolution_all = []
         for i, s in enumerate(slices):
-            xyz = np.asarray(s.xyz_masked_untransformed)
-            v = np.asarray(s.v_masked)
+            # host-side pixel extraction: per-slice jnp.nonzero would compile
+            # a fresh device program for every distinct masked-pixel count
+            # (hundreds of remote compiles); numpy does this in microseconds
+            img = np.asarray(s.image)
+            msk = np.asarray(s.mask)
+            res = np.asarray(s.resolution_xyz)
+            kji = np.stack(np.nonzero(msk), -1)[:, ::-1].astype(np.float32)
+            shape_xyz = np.asarray(img.shape[::-1])
+            xyz = (kji - (shape_xyz - 1) / 2) * res
             xyz_all.append(xyz)
-            v_all.append(v)
-            slice_idx_all.append(np.full(v.shape, i, dtype=np.int32))
+            v_all.append(img[msk])
+            slice_idx_all.append(np.full(xyz.shape[0], i, dtype=np.int32))
             transformation_all.append(s.transformation)
-            resolution_all.append(np.asarray(s.resolution_xyz))
+            resolution_all.append(res)
 
         self.xyz = jnp.asarray(np.concatenate(xyz_all), jnp.float32)
         self.v = jnp.asarray(np.concatenate(v_all), jnp.float32)
