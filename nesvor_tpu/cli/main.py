@@ -34,6 +34,13 @@ def build_parser_training() -> argparse.ArgumentParser:
     _parser = argparse.ArgumentParser(add_help=False)
     parser = _parser.add_argument_group("model architecture")
     parser.add_argument(
+        "--encoder", default="cellhash", type=str,
+        choices=["cellhash", "hash"],
+        help="INR encoding layout: 'cellhash' = fused cell-block grid "
+        "(TPU-fast, one 64B gather per point per level; default), 'hash' = "
+        "reference Instant-NGP vertex hash (exact tiny-cuda-nn semantics).",
+    )
+    parser.add_argument(
         "--n-features-per-level", default=2, type=int,
         help="Length of the feature vector at each level.",
     )

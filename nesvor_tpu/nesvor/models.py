@@ -26,6 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.cell_grid import (
+    cell_encode,
+    init_cell_grid,
+    make_cell_grid_spec,
+)
 from ..ops.hash_grid import (
     compute_level_resolutions,
     hash_encode,
@@ -60,10 +65,22 @@ class INRConfig:
     depth: int = 1
     n_features_z: int = 15
     compute_dtype: Any = jnp.bfloat16
+    # "cellhash": fused cell-block layout, one 64B gather per point per level
+    # (TPU-fast; dense levels keep exact Instant-NGP shared-vertex semantics,
+    # hashed levels use per-cell corner blocks — see ops/cell_grid.py).
+    # "hash": the reference vertex-hash layout (8 gathers; exact tcnn
+    # semantics at every level).
+    encoder: str = "hash"
 
     @property
     def table_size(self) -> int:
         return 2**self.log2_hashmap_size
+
+    @property
+    def cell_spec(self):
+        return make_cell_grid_spec(
+            self.level_resolutions, self.n_features_per_level, self.table_size
+        )
 
     @property
     def n_encoding_features(self) -> int:
@@ -101,6 +118,7 @@ def build_inr_config(bounding_box, args) -> INRConfig:
     )
     compute_dtype = jnp.float32 if args.single_precision else jnp.bfloat16
     return INRConfig(
+        encoder=getattr(args, "encoder", "cellhash"),
         n_levels=n_levels,
         base_resolution=base_resolution,
         level_resolutions=compute_level_resolutions(
@@ -163,10 +181,18 @@ def mlp_apply(params: Dict, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.n
 
 def init_inr(key, cfg: INRConfig) -> Dict:
     k1, k2 = jax.random.split(key)
+    if cfg.encoder == "cellhash":
+        enc = {"cell": init_cell_grid(k1, cfg.cell_spec)}
+    elif cfg.encoder == "hash":
+        enc = {
+            "table": init_hash_table(
+                k1, cfg.n_levels, cfg.table_size, cfg.n_features_per_level
+            )
+        }
+    else:
+        raise ValueError(f"unknown encoder {cfg.encoder!r}")
     return {
-        "table": init_hash_table(
-            k1, cfg.n_levels, cfg.table_size, cfg.n_features_per_level
-        ),
+        **enc,
         "density_net": mlp_init(
             k2,
             cfg.n_encoding_features,
@@ -184,9 +210,14 @@ def inr_forward(
     (reference INR.forward, models.py:142-152)."""
     prefix = x.shape[:-1]
     xn = (x.reshape(-1, 3) - bounding_box[0]) / (bounding_box[1] - bounding_box[0])
-    pe = hash_encode(
-        params["table"].astype(cfg.compute_dtype), xn, cfg.level_resolutions
-    )
+    if cfg.encoder == "cellhash":
+        pe = cell_encode(
+            params["cell"], xn, cfg.cell_spec, compute_dtype=cfg.compute_dtype
+        )
+    else:
+        pe = hash_encode(
+            params["table"].astype(cfg.compute_dtype), xn, cfg.level_resolutions
+        )
     z = mlp_apply(params["density_net"], pe, cfg.compute_dtype)
     density = jax.nn.softplus(z[..., 0].astype(jnp.float32)).reshape(prefix)
     return density, pe, z
