@@ -188,15 +188,70 @@ def segment_reduce_rows(
 ) -> jnp.ndarray:
     """Deterministic sum of ``rows`` (N, C) into (num_rows, C) by key.
 
-    TPU: XLA's scatter-add is serialized (~40-80 ns/row measured); sorting
-    first more than halves it (~33 ns/row) and is the staging point for the
-    Pallas window-reduce kernel. Replaces the reference's CUDA atomicAdd
-    (nondeterministic float ordering) with a deterministic reduction."""
+    TPU: sort + Pallas window-reduce (MXU one-hot matmul over the sorted
+    stream, ops/window_reduce.py) — XLA's scatter-add is serialized at
+    ~40-80 ns/row (measured), ~6x slower even with sorted indices. Other
+    backends (CPU tests): sorted XLA scatter. Either way the reduction is
+    deterministic, unlike the reference's CUDA atomicAdd accumulation."""
     order = jnp.argsort(keys)
     sk = keys[order]
     sv = rows[order]
+    if jax.default_backend() == "tpu" and rows.shape[-1] * 8 == 128:
+        from .window_reduce import window_reduce_sorted
+
+        return window_reduce_sorted(sk, sv, num_rows)
     out = jnp.zeros((num_rows, rows.shape[-1]), rows.dtype)
     return out.at[sk].add(sv, indices_are_sorted=True, unique_indices=False)
+
+
+def _table_grad_sorted(
+    spec: CellGridSpec, x: jnp.ndarray, g: jnp.ndarray, keys: jnp.ndarray
+) -> jnp.ndarray:
+    """d_fused (total_rows, 8F) from points x (N,3) and feature cotangent
+    g (N, L*F), via sort-by-key + sorted-stream reconstruction + reduce."""
+    F = spec.n_features
+    L = spec.n_levels
+    N = x.shape[0]
+    M = L * N
+    iota = jnp.arange(M, dtype=jnp.int32)
+    sk, order = jax.lax.sort_key_val(keys.reshape(-1), iota)
+    n_idx = jnp.remainder(order, N)
+    l_idx = order // N
+
+    # two separate gathers: a fused (3 + L*F)-wide row crosses the ~100-byte
+    # row-width cliff where XLA's gather slows ~6x (measured)
+    xs = jnp.take(x.astype(jnp.float32), n_idx, axis=0)  # (M, 3)
+    gs = jnp.take(g, n_idx, axis=0)  # (M, L*F)
+
+    # per-element level resolution and g slice via unrolled one-hot over L
+    # (a 12-row table gather here would cost ~40 ms; the unroll is ~1 ms VPU)
+    r_e = 0.0
+    g_e = 0.0
+    for l, r in enumerate(spec.level_resolutions):
+        sel = (l_idx == l).astype(jnp.float32)[:, None]
+        r_e = r_e + sel * r
+        g_e = g_e + sel * gs[:, l * F : (l + 1) * F]
+
+    pos = xs * r_e
+    p0f = jnp.floor(pos)
+    frac = jnp.where(p0f >= r_e, 1.0, pos - p0f)  # (M, 3)
+    fx, fy, fz = frac[:, 0:1], frac[:, 1:2], frac[:, 2:3]
+    parts = []
+    for c in range(8):
+        wx = fx if (c & 1) else 1 - fx
+        wy = fy if (c >> 1) & 1 else 1 - fy
+        wz = fz if (c >> 2) & 1 else 1 - fz
+        parts.append(wx * wy * wz * g_e)
+    d_rows_sorted = jnp.concatenate(parts, axis=1)  # (M, 8F)
+
+    if jax.default_backend() == "tpu" and 8 * F == 16:
+        from .window_reduce import window_reduce_sorted
+
+        return window_reduce_sorted(sk, d_rows_sorted, spec.total_rows)
+    out = jnp.zeros((spec.total_rows, 8 * F), d_rows_sorted.dtype)
+    return out.at[sk].add(
+        d_rows_sorted, indices_are_sorted=True, unique_indices=False
+    )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -230,14 +285,13 @@ def _gather_interp_bwd(spec: CellGridSpec, res, g):
     gf = jnp.swapaxes(g.reshape(N, L, F), 0, 1).reshape(L * N, F)
     gf = gf.astype(jnp.float32)
     keys, fracs = _cell_keys_fracs(x, spec)  # recompute (cheap VPU math)
-    ws = [
-        _corner_weight(fracs, c).reshape(L * N, 1).astype(jnp.float32)
-        for c in range(8)
-    ]
 
-    # table gradient: d_rows[:, c*F:(c+1)*F] = w_c * g
-    d_rows = jnp.concatenate([w * gf for w in ws], axis=1)  # (L*N, 8F)
-    d_fused = segment_reduce_rows(keys.reshape(-1), d_rows, spec.total_rows)
+    # ---- table gradient ----
+    # Sorted-side reconstruction: sorting carries only the 4-byte source id;
+    # the 64-byte gradient rows are rebuilt IN SORTED ORDER from (x, g)
+    # gathered out of small N-row sources. Permuting prebuilt (L*N, 8F) rows
+    # instead costs ~3x (gather time grows with source row count; measured).
+    d_fused = _table_grad_sorted(spec, x, g.astype(jnp.float32), keys)
 
     # coordinate gradient: s_c = <rows_c, g>; d_frac via weight partials
     rf = rows.astype(jnp.float32)

@@ -1,0 +1,152 @@
+"""Pallas TPU kernel: segment-sum of a key-sorted row stream.
+
+The hash-grid backward needs sum-by-table-row of ~12.6M gradient rows per
+step. XLA's scatter-add on TPU is serialized (~40-80 ns/row; ~33 ns even
+with sorted indices — measured, PERF.md), i.e. ~600 ms/step. This kernel
+exploits sortedness: the grid walks the stream in fixed blocks; each block's
+keys span a narrow contiguous range of output rows, so the reduction is a
+one-hot matmul on the MXU plus a read-modify-write DMA of that window.
+
+Replaces the reference's CUDA ``atomicAdd`` grid-gradient accumulation
+(tiny-cuda-nn backward; also slice_acq_cuda_kernel.cu:384-391) with a
+deterministic reduction.
+
+Packing: Mosaic requires DMA-sliced buffers to have 128-aligned lane
+extents, so a C=16 output cannot be windowed directly. The output is packed
+8 table rows per 128-lane buffer row (out2[t // 8, (t % 8)*C + c]); the
+matmul produces that layout in one shot:
+
+  packed[wb, s*C + c] = sum_r [quot_r == wb] * valsE[r, s*C + c]
+  where q = key - base, quot = q >> 3, rem = q & 7,
+        valsE[r, s*C + c] = vals[r, c] * [rem_r == s]
+
+i.e. the remainder one-hot folds into the RHS (an elementwise mask of the
+8x lane-tiled values) and the quotient one-hot is the LHS — both rank-2, so
+one (R, W/8) x (R, 128) dot_general per window.
+
+Algorithm per grid block (the TPU grid is sequential on a core, so
+read-modify-write of overlapping windows between adjacent blocks is
+race-free):
+  base = align8(min key in block)
+  while base <= max key in block:
+      packed = quot_onehot^T @ masked_tiled_vals      # MXU
+      out2[base/8 : base/8 + W/8] += packed           # DMA RMW via VMEM
+      base = align8(smallest key > base + W - 1)      # skip empty gaps
+
+Keys MUST be sorted ascending; rows with equal keys may span blocks. Cost
+scales with n_blocks + total_key_span/W, not with the output size, and
+duplicate-heavy (skewed) keys collapse into fewer windows — the worst case
+of XLA scatter is the best case here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INT_MAX = np.int32(2**31 - 1)
+
+
+def _kernel(keys_ref, vals_ref, _out_in, out_ref, scratch, sem_in, sem_out, *, window, c):
+    R = keys_ref.shape[0]
+    W = window
+    WB = W // 8
+    keys = keys_ref[:, 0]  # (R,)
+    kmax = jnp.max(keys)
+    base0 = jnp.min(keys) & ~7
+
+    vals = vals_ref[:]  # (R, C)
+    vals_tiled = jnp.concatenate([vals] * 8, axis=1)  # (R, 8C)
+    lane8c = jax.lax.broadcasted_iota(jnp.int32, (R, 8 * c), 1) // c  # s per lane
+    laneq = jax.lax.broadcasted_iota(jnp.int32, (R, WB), 1)
+
+    def cond(base):
+        return base <= kmax
+
+    def body(base):
+        q = keys - base
+        # negative q (keys below the window) gets quot < 0 -> no lane match
+        quot = jax.lax.shift_right_arithmetic(q, 3)
+        rem = jnp.bitwise_and(q, 7)
+        onehot_q = (quot[:, None] == laneq).astype(vals.dtype)  # (R, WB)
+        vals_e = jnp.where(rem[:, None] == lane8c, vals_tiled, 0)  # (R, 8C)
+        packed = jax.lax.dot_general(
+            onehot_q,
+            vals_e,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # the MXU is bf16; without this the f32 dot is lowered as a
+            # single bf16 pass (~0.4% error on the sums). HIGHEST = 3-pass.
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (WB, 8C)
+        wb = jax.lax.shift_right_arithmetic(base, 3)
+        copy_in = pltpu.make_async_copy(
+            out_ref.at[pl.ds(wb, WB)], scratch, sem_in
+        )
+        copy_in.start()
+        copy_in.wait()
+        scratch[:] = scratch[:] + packed.astype(scratch.dtype)
+        copy_out = pltpu.make_async_copy(
+            scratch, out_ref.at[pl.ds(wb, WB)], sem_out
+        )
+        copy_out.start()
+        copy_out.wait()
+        # skip to the next populated window (handles sparse gaps/level jumps)
+        above = jnp.where(keys > base + (W - 1), keys, _INT_MAX)
+        return jnp.min(above) & ~7
+
+    jax.lax.while_loop(cond, body, base0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_rows", "block_rows", "window")
+)
+def window_reduce_sorted(
+    sorted_keys: jnp.ndarray,
+    sorted_vals: jnp.ndarray,
+    num_rows: int,
+    block_rows: int = 2048,
+    window: int = 1024,
+) -> jnp.ndarray:
+    """Sum rows of ``sorted_vals`` (M, C) by ``sorted_keys`` (M,) ascending
+    into a dense (num_rows, C) f32 output. C must be 16 (8C = one 128-lane
+    row) or another divisor of 128/8."""
+    M, C = sorted_vals.shape
+    R, W = block_rows, window
+    assert W % 8 == 0
+    n_blocks = -(-M // R)
+    pad = n_blocks * R - M
+    # 8 table rows pack into one 8C-lane buffer row
+    t_pad8 = (num_rows + 2 * W + 7) // 8 + 1
+    keys2 = jnp.concatenate(
+        [sorted_keys.astype(jnp.int32), jnp.full((pad,), num_rows, jnp.int32)]
+    ).reshape(n_blocks * R, 1)
+    vals2 = jnp.concatenate(
+        [sorted_vals, jnp.zeros((pad, C), sorted_vals.dtype)], axis=0
+    )
+    out_init = jnp.zeros((t_pad8, 8 * C), jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, window=W, c=C),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((t_pad8, 8 * C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((W // 8, 8 * C), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(keys2, vals2, out_init)
+    return out.reshape(t_pad8 * 8, C)[:num_rows]
