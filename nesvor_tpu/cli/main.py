@@ -35,10 +35,25 @@ def build_parser_training() -> argparse.ArgumentParser:
     parser = _parser.add_argument_group("model architecture")
     parser.add_argument(
         "--encoder", default="cellhash", type=str,
-        choices=["cellhash", "hash"],
+        choices=["cellhash", "hash", "fourier"],
         help="INR encoding layout: 'cellhash' = fused cell-block grid "
         "(TPU-fast, one 64B gather per point per level; default), 'hash' = "
-        "reference Instant-NGP vertex hash (exact tiny-cuda-nn semantics).",
+        "reference Instant-NGP vertex hash (exact tiny-cuda-nn semantics), "
+        "'fourier' = gather-free random Fourier features, one octave per "
+        "grid level (all-MXU; pair with a wider MLP, e.g. --width 256 "
+        "--depth 3).",
+    )
+    parser.add_argument(
+        "--fourier-dirs", default=8, type=int,
+        help="Random directions per frequency octave for --encoder fourier.",
+    )
+    parser.add_argument(
+        "--head-width", default=0, type=int,
+        help="Width of the sigma/bias head MLPs (0 = same as --width).",
+    )
+    parser.add_argument(
+        "--head-depth", default=0, type=int,
+        help="Depth of the sigma/bias head MLPs (0 = same as --depth).",
     )
     parser.add_argument(
         "--n-features-per-level", default=2, type=int,

@@ -129,8 +129,12 @@ def _parse_header(raw: bytes) -> dict:
 
 def read_nifti(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
     """Returns (data in file (x,y,z,...) Fortran order, pixdim[1:4], affine, header)."""
-    with _open(path, "rb") as f:
-        raw = f.read()
+    from ..native import cast_f32 as _native_cast, read_file as _native_read
+
+    raw = _native_read(path)  # C++ zlib inflate; None -> python gzip
+    if raw is None:
+        with _open(path, "rb") as f:
+            raw = f.read()
     hdr = _parse_header(raw)
     ndim = hdr["dim"][0]
     shape = tuple(int(s) for s in hdr["dim"][1 : 1 + ndim])
@@ -139,13 +143,27 @@ def read_nifti(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
         raise ValueError(f"Unsupported NIfTI datatype {hdr['datatype']}")
     offset = int(hdr["vox_offset"]) if hdr["vox_offset"] else 352
     count = int(np.prod(shape))
-    data = np.frombuffer(
-        raw, dtype=np.dtype(dtype).newbyteorder("<"), count=count, offset=offset
-    )
-    data = data.reshape(shape, order="F").astype(np.float32)
     slope, inter = hdr["scl_slope"], hdr["scl_inter"]
-    if slope not in (0.0,) and np.isfinite(slope) and (slope != 1.0 or inter != 0.0):
-        data = data * np.float32(slope) + np.float32(inter)
+    do_scale = (
+        slope not in (0.0,) and np.isfinite(slope) and (slope != 1.0 or inter != 0.0)
+    )
+    data = _native_cast(  # multithreaded C++ cast+scale; None -> numpy
+        raw,
+        offset,
+        int(hdr["datatype"]),
+        count,
+        float(slope) if do_scale else 1.0,
+        float(inter) if do_scale else 0.0,
+    )
+    if data is not None:
+        data = data.reshape(shape, order="F")
+    else:
+        data = np.frombuffer(
+            raw, dtype=np.dtype(dtype).newbyteorder("<"), count=count, offset=offset
+        )
+        data = data.reshape(shape, order="F").astype(np.float32)
+        if do_scale:
+            data = data * np.float32(slope) + np.float32(inter)
 
     # affine selection mirrors nibabel's get-affine logic used by the reference
     if hdr["sform_code"] > 0:

@@ -31,6 +31,7 @@ from ..ops.cell_grid import (
     init_cell_grid,
     make_cell_grid_spec,
 )
+from ..ops.fourier import fourier_encode, init_fourier_basis
 from ..ops.hash_grid import (
     compute_level_resolutions,
     hash_encode,
@@ -70,7 +71,10 @@ class INRConfig:
     # hashed levels use per-cell corner blocks — see ops/cell_grid.py).
     # "hash": the reference vertex-hash layout (8 gathers; exact tcnn
     # semantics at every level).
+    # "fourier": gather-free random Fourier features, one octave per grid
+    # level (all-MXU; see ops/fourier.py) — pair with a wider/deeper MLP.
     encoder: str = "hash"
+    fourier_dirs: int = 8
 
     @property
     def table_size(self) -> int:
@@ -81,6 +85,18 @@ class INRConfig:
         return make_cell_grid_spec(
             self.level_resolutions, self.n_features_per_level, self.table_size
         )
+
+    @property
+    def features_per_level(self) -> int:
+        """Feature block width per level in the encoding output (drives the
+        bias head's low-frequency slice, reference models.py:343-349)."""
+        if self.encoder == "fourier":
+            return 2 * self.fourier_dirs
+        return self.n_features_per_level
+
+    @property
+    def n_encoding_features_actual(self) -> int:
+        return self.n_levels * self.features_per_level
 
     @property
     def n_encoding_features(self) -> int:
@@ -100,6 +116,19 @@ class NeSVoRConfig:
     no_slice_variance: bool = False
     image_regularization: str = "edge"
     delta: float = 0.2  # multiplied by v_mean at build time (reference :189)
+    # sigma/bias head MLP size; 0 = follow inr.width/depth (the reference
+    # sizes every net from the same --width/--depth, models.py:118-119,
+    # 243-256 — useful to decouple when the density net is widened for the
+    # fourier encoder)
+    head_width: int = 0
+    head_depth: int = 0
+
+    @property
+    def head_size(self):
+        return (
+            self.head_width or self.inr.width,
+            self.head_depth or self.inr.depth,
+        )
 
 
 def build_inr_config(bounding_box, args) -> INRConfig:
@@ -131,6 +160,7 @@ def build_inr_config(bounding_box, args) -> INRConfig:
         depth=args.depth,
         n_features_z=args.n_features_z,
         compute_dtype=compute_dtype,
+        fourier_dirs=getattr(args, "fourier_dirs", 8),
     )
 
 
@@ -189,13 +219,20 @@ def init_inr(key, cfg: INRConfig) -> Dict:
                 k1, cfg.n_levels, cfg.table_size, cfg.n_features_per_level
             )
         }
+    elif cfg.encoder == "fourier":
+        # fixed basis (frozen in the optimizer, like the grid hash function)
+        enc = {
+            "fourier_basis": init_fourier_basis(
+                k1, cfg.level_resolutions, cfg.fourier_dirs
+            )
+        }
     else:
         raise ValueError(f"unknown encoder {cfg.encoder!r}")
     return {
         **enc,
         "density_net": mlp_init(
             k2,
-            cfg.n_encoding_features,
+            cfg.n_encoding_features_actual,
             1 + cfg.n_features_z,
             cfg.width,
             cfg.depth,
@@ -213,6 +250,13 @@ def inr_forward(
     if cfg.encoder == "cellhash":
         pe = cell_encode(
             params["cell"], xn, cfg.cell_spec, compute_dtype=cfg.compute_dtype
+        )
+    elif cfg.encoder == "fourier":
+        pe = fourier_encode(
+            jax.lax.stop_gradient(params["fourier_basis"]),
+            xn,
+            cfg.fourier_dirs,
+            compute_dtype=cfg.compute_dtype,
         )
     else:
         pe = hash_encode(
@@ -281,16 +325,14 @@ def init_nesvor(
             keys[2],
             cfg.n_features_slice + cfg.inr.n_features_z,
             1,
-            cfg.inr.width,
-            cfg.inr.depth,
+            *cfg.head_size,
         )
     if cfg.n_levels_bias:
         params["b_net"] = mlp_init(
             keys[3],
-            cfg.n_levels_bias * cfg.inr.n_features_per_level + cfg.n_features_slice,
+            cfg.n_levels_bias * cfg.inr.features_per_level + cfg.n_features_slice,
             1,
-            cfg.inr.width,
-            cfg.inr.depth,
+            *cfg.head_size,
         )
     consts = {
         "axisangle_init": jnp.asarray(axisangle, jnp.float32),
@@ -363,7 +405,7 @@ def nesvor_loss(
 
     results: Dict[str, jnp.ndarray] = {}
     if cfg.n_levels_bias:
-        pe_bias = pe[..., : cfg.n_levels_bias * cfg.inr.n_features_per_level]
+        pe_bias = pe[..., : cfg.n_levels_bias * cfg.inr.features_per_level]
         log_bias = mlp_apply(
             params["b_net"],
             jnp.concatenate(zs + [pe_bias.astype(jnp.float32)], -1),

@@ -66,18 +66,26 @@ class Dataset:
         slice_idx_all = []
         transformation_all = []
         resolution_all = []
+        from ..native import pixel_bag as _native_bag
+
         for i, s in enumerate(slices):
             # host-side pixel extraction: per-slice jnp.nonzero would compile
             # a fresh device program for every distinct masked-pixel count
-            # (hundreds of remote compiles); numpy does this in microseconds
+            # (hundreds of remote compiles); the fused C++ pass (native/)
+            # or numpy does this in microseconds
             img = np.asarray(s.image)
             msk = np.asarray(s.mask)
             res = np.asarray(s.resolution_xyz)
-            kji = np.stack(np.nonzero(msk), -1)[:, ::-1].astype(np.float32)
-            shape_xyz = np.asarray(img.shape[::-1])
-            xyz = (kji - (shape_xyz - 1) / 2) * res
+            bag = _native_bag(img, msk, res)
+            if bag is not None:
+                xyz, v = bag
+            else:
+                kji = np.stack(np.nonzero(msk), -1)[:, ::-1].astype(np.float32)
+                shape_xyz = np.asarray(img.shape[::-1])
+                xyz = (kji - (shape_xyz - 1) / 2) * res
+                v = img[msk]
             xyz_all.append(xyz)
-            v_all.append(img[msk])
+            v_all.append(v)
             slice_idx_all.append(np.full(xyz.shape[0], i, dtype=np.int32))
             transformation_all.append(s.transformation)
             resolution_all.append(res)
@@ -180,6 +188,8 @@ def _zero_grad_mask(params: Dict, cfg: NeSVoRConfig):
         names = [str(getattr(p, "key", "")) for p in path]
         if cfg.no_transformation_optimization and names and names[0] == "axisangle":
             return "frozen"
+        if "fourier_basis" in names:  # fixed encoding basis
+            return "frozen"
         return "train"
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
@@ -271,6 +281,8 @@ def train(
         no_slice_variance=args.no_slice_variance,
         image_regularization=args.image_regularization,
         delta=args.delta,
+        head_width=getattr(args, "head_width", 0) or 0,
+        head_depth=getattr(args, "head_depth", 0) or 0,
     )
     logging.debug(
         "hash grid: lowest=%d highest=%d scale=%.4f n_levels=%d",

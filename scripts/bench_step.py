@@ -15,6 +15,8 @@ import numpy as np
 def main():
     enc = sys.argv[1] if len(sys.argv) > 1 else "cellhash"
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    width = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    depth = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     from tests.synth import make_phantom_stacks, stacks_to_slices
     import importlib
@@ -27,7 +29,7 @@ def main():
     args = Namespace(
         n_features_per_level=2, log2_hashmap_size=19, level_scale=1.3819,
         coarsest_resolution=16.0, finest_resolution=0.5, n_levels_bias=0,
-        depth=1, width=64, n_features_z=15, n_features_slice=16,
+        depth=depth, width=width, fourier_dirs=8, head_width=64, head_depth=1, n_features_z=15, n_features_slice=16,
         no_transformation_optimization=False, no_slice_scale=False,
         no_pixel_variance=False, no_slice_variance=False, single_precision=False,
         weight_transformation=0.1, weight_bias=100.0,

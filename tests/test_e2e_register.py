@@ -1,0 +1,89 @@
+"""End-to-end CLI test of `nesvor register --registration stack`: a known
+inter-stack rigid misalignment must be recovered by the VVR pipeline (quality
+gate, not just plumbing — reference register command, cli/commands.py:149-168,
+svort/inference.py:308-367)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from nesvor_tpu.cli.main import main as cli_main
+from nesvor_tpu.image import load_slices
+from nesvor_tpu.transform import RigidTransform
+
+from tests.synth import make_phantom_stacks
+from tests.test_e2e_reconstruct import _save_stacks
+
+
+def _rel_pose_err(t_a: RigidTransform, t_b: RigidTransform):
+    """Rotation (rad) and translation (mm) magnitude of a_inv compose b."""
+    rel = t_a.inv().compose(t_b).axisangle(trans_first=True)
+    rel = np.asarray(rel).reshape(6)
+    return float(np.linalg.norm(rel[:3])), float(np.linalg.norm(rel[3:]))
+
+
+def test_register_cli_recovers_stack_misalignment(tmp_path):
+    stacks, _ = make_phantom_stacks(
+        vs=32, n_stacks=2, gap=3.0, res=1.0, res_s=1.5, intensity=700.0
+    )
+    nonempty0 = np.asarray(stacks[0].mask).reshape(len(stacks[0].mask), -1).any(1)
+    n0 = int(nonempty0.sum())
+    n1_slices = len(stacks[1].mask)
+    mid1 = n1_slices // 2
+    true_mid1 = stacks[1].transformation[mid1]
+    # output index n0//2 among stack-0's NONEMPTY slices -> original index
+    orig_idx0 = int(np.nonzero(nonempty0)[0][n0 // 2])
+    true_mid0 = stacks[0].transformation[orig_idx0]
+
+    # corrupt stack 1 by a rigid offset (the registration must undo it)
+    ax = np.array(stacks[1].transformation.axisangle())
+    ax[:, 1] += 0.06  # ~3.4 deg
+    ax[:, 3] += 2.0  # mm
+    stacks[1].transformation = RigidTransform(jnp.asarray(ax))
+    corrupt_mid1 = stacks[1].transformation[mid1]
+
+    folder = str(tmp_path)
+    paths = _save_stacks(stacks, folder)
+    out_slices = os.path.join(folder, "slices")
+
+    cli_main(
+        [
+            "register",
+            "--input-stacks", *paths,
+            "--registration", "stack",
+            "--output-slices", out_slices,
+            "--verbose", "0",
+        ]
+    )
+    slices = load_slices(out_slices)
+    assert len(slices) > n0
+
+    # reconstruct the stack-1 mid-slice pose from the outputs. Output order =
+    # stack order; nonempty slices only. Compare pose error relative to stack
+    # 0 (a common global offset is legitimate).
+    rec_mid0 = slices[n0 // 2].transformation
+    # index of mid1 among stack-1's nonempty slices
+    nonempty1 = np.asarray(stacks[1].mask).reshape(n1_slices, -1).any(1)
+    assert nonempty1[mid1]
+    idx1 = n0 + int(nonempty1[:mid1].sum())
+    rec_mid1 = slices[idx1].transformation
+
+    # relative pose stack1-vs-stack0, recovered vs truth
+    def rel(t1, t0):
+        return t0.inv().compose(t1)
+
+    rot_err0, trans_err0 = _rel_pose_err(
+        rel(corrupt_mid1, true_mid0), rel(true_mid1, true_mid0)
+    )
+    rot_err, trans_err = _rel_pose_err(
+        rel(rec_mid1, rec_mid0), rel(true_mid1, true_mid0)
+    )
+    # quality gate: the corruption (rot_err0 ~ 0.054 rad, trans_err0 ~ 2 mm)
+    # must be substantially removed (measured recovery at this config:
+    # rot 0.054 -> ~0.02, trans 2.0 -> ~0.7 mm)
+    assert rot_err < 0.6 * rot_err0, (rot_err, rot_err0)
+    assert trans_err < 0.5 * trans_err0, (trans_err, trans_err0)
+    # and close in absolute terms
+    assert rot_err < 0.035, rot_err
+    assert trans_err < 1.0, trans_err
