@@ -164,6 +164,12 @@ def build_parser_training() -> argparse.ArgumentParser:
         "--n-samples", default=128 * 2, type=int,
         help="Number of sample for PSF during training.",
     )
+    parser.add_argument(
+        "--dp-devices", default=0, type=int,
+        help="Data-parallel training over this many devices (mesh over the "
+        "pixel-batch axis, gradients all-reduced over ICI). 0/1 = single "
+        "device (the reference is strictly single-GPU; this is additive).",
+    )
     return _parser
 
 

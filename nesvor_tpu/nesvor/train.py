@@ -227,7 +227,21 @@ def make_train_step(
     tx,
     batch_size: int,
     n_pixels: int,
+    mesh=None,
 ):
+    """Build the jitted chunked train step.
+
+    ``mesh`` (optional ``jax.sharding.Mesh`` with a "dp" axis) enables data
+    parallelism — the one strategy that pays for this model size (SURVEY.md
+    §2.3): the pixel bag is sharded on axis 0, each device draws its local
+    sub-batch (``batch_size // n_dev``), and per-step gradients/losses are
+    ``pmean``-reduced over ICI; params and optimizer state stay replicated.
+    The scan lives INSIDE shard_map so a whole dispatch chunk runs without
+    re-entering the collective launcher."""
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    local_batch = batch_size // n_dev
+    assert local_batch > 0, (batch_size, n_dev)
+
     def loss_fn(params, consts, batch, key):
         losses = nesvor_loss(params, consts, cfg, bounding_box, batch, key)
         total = 0.0
@@ -238,25 +252,49 @@ def make_train_step(
 
     def one_step(carry, step_key):
         params, opt_state, consts, data = carry
+        if mesh is not None:
+            step_key = jax.random.fold_in(step_key, jax.lax.axis_index("dp"))
         k_batch, k_mc = jax.random.split(step_key)
-        idx = jax.random.randint(k_batch, (batch_size,), 0, n_pixels)
+        # data["v"].shape[0] is the per-device shard size under shard_map,
+        # the full bag otherwise
+        idx = jax.random.randint(k_batch, (local_batch,), 0, data["v"].shape[0])
         batch = {
             "xyz": data["xyz"][idx],
             "v": data["v"][idx],
             "slice_idx": data["slice_idx"][idx],
         }
         grads, losses = jax.grad(loss_fn, has_aux=True)(params, consts, batch, k_mc)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, "dp")
+            losses = jax.lax.pmean(losses, "dp")
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, consts, data), losses
 
-    @partial(jax.jit, static_argnames=("n_steps",))
-    def run_chunk(params, opt_state, consts, data, key, n_steps: int):
-        keys = jax.random.split(key, n_steps)
+    def scan_chunk(params, opt_state, consts, data, keys):
         (params, opt_state, _, _), losses = jax.lax.scan(
             one_step, (params, opt_state, consts, data), keys
         )
         return params, opt_state, losses
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        scan_chunk = shard_map(
+            scan_chunk,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("dp"), P()),
+            out_specs=(P(), P(), P()),
+            # the cellhash backward contains a pallas_call, whose output
+            # avals carry no varying-mesh-axes info; skip the vma check
+            check_vma=False,
+        )
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def run_chunk(params, opt_state, consts, data, key, n_steps: int):
+        keys = jax.random.split(key, n_steps)
+        return scan_chunk(params, opt_state, consts, data, keys)
 
     return run_chunk
 
@@ -312,8 +350,25 @@ def train(
 
     n_pixels = int(dataset.v.shape[0])
     data = {"xyz": dataset.xyz, "v": dataset.v, "slice_idx": dataset.slice_idx}
+
+    # optional data parallelism over a device mesh (--dp-devices; additive —
+    # the reference is strictly single-GPU, SURVEY.md §2.3)
+    n_dp = int(getattr(args, "dp_devices", 0) or 0)
+    mesh = None
+    if n_dp > 1:
+        from ..parallel.dp import make_mesh, shard_pixel_bag
+
+        devices = jax.devices()
+        if len(devices) < n_dp:
+            raise ValueError(
+                f"--dp-devices {n_dp} but only {len(devices)} devices visible"
+            )
+        mesh = make_mesh(devices[:n_dp])
+        data = shard_pixel_bag(data, mesh)
+        logging.info("data-parallel training over %d devices", n_dp)
+
     run_chunk = make_train_step(
-        cfg, bounding_box, loss_weights, tx, args.batch_size, n_pixels
+        cfg, bounding_box, loss_weights, tx, args.batch_size, n_pixels, mesh=mesh
     )
 
     # fixed-size dispatch chunks: LR milestones live inside the optax

@@ -199,7 +199,7 @@ def segment_reduce_rows(
     if jax.default_backend() == "tpu" and rows.shape[-1] * 8 == 128:
         from .window_reduce import window_reduce_sorted
 
-        return window_reduce_sorted(sk, sv, num_rows)
+        return window_reduce_sorted(sk, sv, num_rows, mxu_bf16=True)
     out = jnp.zeros((num_rows, rows.shape[-1]), rows.dtype)
     return out.at[sk].add(sv, indices_are_sorted=True, unique_indices=False)
 
@@ -247,7 +247,9 @@ def _table_grad_sorted(
     if jax.default_backend() == "tpu" and 8 * F == 16:
         from .window_reduce import window_reduce_sorted
 
-        return window_reduce_sorted(sk, d_rows_sorted, spec.total_rows)
+        # bf16 contributions / f32 accumulation: strictly tighter than the
+        # reference path (tiny-cuda-nn accumulates grid grads in fp16 atomics)
+        return window_reduce_sorted(sk, d_rows_sorted, spec.total_rows, mxu_bf16=True)
     out = jnp.zeros((spec.total_rows, 8 * F), d_rows_sorted.dtype)
     return out.at[sk].add(
         d_rows_sorted, indices_are_sorted=True, unique_indices=False

@@ -52,7 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 _INT_MAX = np.int32(2**31 - 1)
 
 
-def _kernel(keys_ref, vals_ref, _out_in, out_ref, scratch, sem_in, sem_out, *, window, c):
+def _kernel(
+    keys_ref, vals_ref, _out_in, out_ref, scratch, sem_in, sem_out, *, window, c, mxu_bf16
+):
     R = keys_ref.shape[0]
     W = window
     WB = W // 8
@@ -61,6 +63,11 @@ def _kernel(keys_ref, vals_ref, _out_in, out_ref, scratch, sem_in, sem_out, *, w
     base0 = jnp.min(keys) & ~7
 
     vals = vals_ref[:]  # (R, C)
+    if mxu_bf16:
+        # single-pass MXU: bf16 per-row contributions, f32 accumulation.
+        # Strictly tighter than the reference path (tiny-cuda-nn accumulates
+        # grid gradients in fp16 atomicAdds, both operand AND accumulator).
+        vals = vals.astype(jnp.bfloat16)
     vals_tiled = jnp.concatenate([vals] * 8, axis=1)  # (R, 8C)
     lane8c = jax.lax.broadcasted_iota(jnp.int32, (R, 8 * c), 1) // c  # s per lane
     laneq = jax.lax.broadcasted_iota(jnp.int32, (R, WB), 1)
@@ -80,9 +87,9 @@ def _kernel(keys_ref, vals_ref, _out_in, out_ref, scratch, sem_in, sem_out, *, w
             vals_e,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            # the MXU is bf16; without this the f32 dot is lowered as a
-            # single bf16 pass (~0.4% error on the sums). HIGHEST = 3-pass.
-            precision=jax.lax.Precision.HIGHEST,
+            # f32 path: without HIGHEST the f32 dot is lowered as a single
+            # bf16 pass (~0.4% error on the sums). HIGHEST = 3-pass.
+            precision=None if mxu_bf16 else jax.lax.Precision.HIGHEST,
         )  # (WB, 8C)
         wb = jax.lax.shift_right_arithmetic(base, 3)
         copy_in = pltpu.make_async_copy(
@@ -104,7 +111,7 @@ def _kernel(keys_ref, vals_ref, _out_in, out_ref, scratch, sem_in, sem_out, *, w
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_rows", "block_rows", "window")
+    jax.jit, static_argnames=("num_rows", "block_rows", "window", "mxu_bf16")
 )
 def window_reduce_sorted(
     sorted_keys: jnp.ndarray,
@@ -112,6 +119,7 @@ def window_reduce_sorted(
     num_rows: int,
     block_rows: int = 2048,
     window: int = 1024,
+    mxu_bf16: bool = False,
 ) -> jnp.ndarray:
     """Sum rows of ``sorted_vals`` (M, C) by ``sorted_keys`` (M,) ascending
     into a dense (num_rows, C) f32 output. C must be 16 (8C = one 128-lane
@@ -132,7 +140,7 @@ def window_reduce_sorted(
     out_init = jnp.zeros((t_pad8, 8 * C), jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, window=W, c=C),
+        functools.partial(_kernel, window=W, c=C, mxu_bf16=mxu_bf16),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),

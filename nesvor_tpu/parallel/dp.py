@@ -16,16 +16,13 @@ multi-host would only add ``jax.distributed.initialize``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import optax
-from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..nesvor.models import NeSVoRConfig, nesvor_loss
+from ..nesvor.models import NeSVoRConfig
 
 
 def make_mesh(devices=None) -> Mesh:
@@ -58,47 +55,20 @@ def make_dp_train_step(
     n_pixels_local: int,
     mesh: Mesh,
 ):
-    """Returns a jitted sharded train step: (params, opt_state, consts,
-    data_sharded, key) -> (params, opt_state, losses). Params/opt state are
-    replicated; gradients are pmean-reduced across ``dp``."""
-    n_dev = mesh.devices.size
-    per_device_batch = batch_size // n_dev
-    assert per_device_batch > 0
+    """Jitted sharded train step: (params, opt_state, consts, data_sharded,
+    key) -> (params, opt_state, losses). Thin wrapper over the integrated
+    ``train.make_train_step(mesh=...)`` path (the one ``train()`` itself uses
+    with --dp-devices), specialized to a single step per dispatch."""
+    from ..nesvor.train import make_train_step
 
-    def loss_fn(params, consts, batch, key):
-        losses = nesvor_loss(params, consts, cfg, bounding_box, batch, key)
-        total = 0.0
-        for k, w in loss_weights.items():
-            if k in losses and w:
-                total = total + w * losses[k]
-        return total, losses
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P("dp"), P()),
-        out_specs=(P(), P(), P()),
-        # the cellhash backward contains a pallas_call, whose output avals
-        # carry no varying-mesh-axes info; skip the vma check
-        check_vma=False,
+    run_chunk = make_train_step(
+        cfg, bounding_box, loss_weights, tx, batch_size, n_pixels_local, mesh=mesh
     )
-    def step(params, opt_state, consts, data, key):
-        dev = jax.lax.axis_index("dp")
-        key = jax.random.fold_in(key, dev)
-        k_batch, k_mc = jax.random.split(key)
-        idx = jax.random.randint(
-            k_batch, (per_device_batch,), 0, data["v"].shape[0]
-        )
-        batch = {
-            "xyz": data["xyz"][idx],
-            "v": data["v"][idx],
-            "slice_idx": data["slice_idx"][idx],
-        }
-        grads, losses = jax.grad(loss_fn, has_aux=True)(params, consts, batch, k_mc)
-        grads = jax.lax.pmean(grads, "dp")
-        losses = jax.lax.pmean(losses, "dp")
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, losses
 
-    return jax.jit(step)
+    def step(params, opt_state, consts, data, key):
+        params, opt_state, losses = run_chunk(
+            params, opt_state, consts, data, key, 1
+        )
+        return params, opt_state, {k: v[-1] for k, v in losses.items()}
+
+    return step

@@ -1,6 +1,7 @@
 """Time one jitted train step at bench scale (4096 px x 256 MC) on the TPU,
 for each encoder. Usage: python scripts/bench_step.py [cellhash|hash] [steps]"""
 
+import os
 import sys
 import time
 from argparse import Namespace
@@ -53,6 +54,8 @@ def main():
         no_transformation_optimization=False, no_slice_scale=False,
         no_pixel_variance=False, no_slice_variance=False,
         image_regularization="edge", delta=args.delta,
+        head_width=int(os.environ.get("BENCH_HEAD_WIDTH", "0")),
+        head_depth=int(os.environ.get("BENCH_HEAD_DEPTH", "0")),
     )
     key = jax.random.PRNGKey(0)
     params, consts = T.init_nesvor(

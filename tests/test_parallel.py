@@ -17,3 +17,35 @@ def test_entry_compiles():
     fn, args = ge.entry()
     v = jax.jit(fn)(*args)
     assert np.isfinite(float(v))
+
+
+def test_train_dp_devices():
+    """train() with --dp-devices exercises the integrated shard_map path end
+    to end (sharded pixel bag, pmean gradients, replicated optimizer)."""
+    from argparse import Namespace
+
+    from tests.synth import make_phantom_stacks, stacks_to_slices
+    from nesvor_tpu.nesvor.train import train
+
+    stacks, _ = make_phantom_stacks(
+        vs=16, n_stacks=2, gap=2.0, res=1.0, res_s=1.0, intensity=1.0
+    )
+    slices = stacks_to_slices(stacks)
+    args = Namespace(
+        n_features_per_level=2, log2_hashmap_size=12, level_scale=1.3819,
+        coarsest_resolution=16.0, finest_resolution=2.0, n_levels_bias=0,
+        encoder="fourier", fourier_dirs=4, depth=1, width=32,
+        head_width=16, head_depth=1, n_features_z=7, n_features_slice=4,
+        no_transformation_optimization=False, no_slice_scale=False,
+        no_pixel_variance=False, no_slice_variance=False,
+        single_precision=True,
+        weight_transformation=0.1, weight_bias=100.0,
+        image_regularization="edge", weight_image=2.0, delta=0.2,
+        learning_rate=5e-3, gamma=0.33, milestones=[0.5, 0.75, 0.9],
+        n_iter=4, batch_size=64, n_samples=4,
+        seed=0, mask_threshold=1.0, dp_devices=4, max_chunk_steps=2,
+    )
+    model, out_slices, mask = train(slices, args)
+    for leaf in jax.tree_util.tree_leaves(model.params):
+        assert bool(jax.numpy.all(jax.numpy.isfinite(leaf)))
+    assert len(out_slices) == len(slices)
