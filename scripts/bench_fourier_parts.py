@@ -75,33 +75,44 @@ def main():
     n_pixels = int(ds.v.shape[0])
     data = {"xyz": ds.xyz, "v": ds.v, "slice_idx": ds.slice_idx}
 
-    def get_batch(k):
+    def get_batch(data, k):
         idx = jax.random.randint(k, (B,), 0, n_pixels)
         return {"xyz": data["xyz"][idx], "v": data["v"][idx],
                 "slice_idx": data["slice_idx"][idx]}
 
     def scan_over(fn):
+        # data passed as an argument: closure-captured device arrays become
+        # jit constants re-uploaded per dispatch through the tunnel
         @jax.jit
-        def run(params, key):
+        def run(params, data, key):
             def one(c, k):
-                return c, fn(params, k)
+                return c, fn(params, data, k)
             _, outs = jax.lax.scan(one, 0, jax.random.split(key, n_steps))
             return jnp.sum(outs)
         return run
 
     # --- stage fns (each returns a scalar) ---
-    def f_sample(params, k):
+    def f_batch(params, data, k):
+        k1, _ = jax.random.split(k)
+        batch = get_batch(data, k1)
+        return jnp.sum(batch["xyz"]) + jnp.sum(batch["v"])
+
+    def f_rng(params, data, k):
+        _, k2 = jax.random.split(k)
+        return jnp.sum(jax.random.normal(k2, (B, S, 3), jnp.float32))
+
+    def f_sample(params, data, k):
         k1, k2 = jax.random.split(k)
-        batch = get_batch(k1)
+        batch = get_batch(data, k1)
         xyz_psf = jax.random.normal(k2, (B, S, 3), jnp.float32)
         psf = consts["psf_sigma"][batch["slice_idx"]][:, None]
         t = params["axisangle"][batch["slice_idx"]][:, None]
         xyz_t = ax_transform_points(t, batch["xyz"][:, None] + xyz_psf * psf, True)
         return jnp.sum(xyz_t.astype(jnp.float32))
 
-    def f_encode(params, k):
+    def f_encode(params, data, k):
         k1, k2 = jax.random.split(k)
-        batch = get_batch(k1)
+        batch = get_batch(data, k1)
         xyz_psf = jax.random.normal(k2, (B, S, 3), jnp.float32)
         psf = consts["psf_sigma"][batch["slice_idx"]][:, None]
         t = params["axisangle"][batch["slice_idx"]][:, None]
@@ -109,14 +120,14 @@ def main():
         density, pe, z = M.inr_forward(params["inr"], cfg.inr, bb, xyz_t)
         return jnp.sum(density)
 
-    def f_loss(params, k):
+    def f_loss(params, data, k):
         k1, k2 = jax.random.split(k)
-        batch = get_batch(k1)
+        batch = get_batch(data, k1)
         losses = M.nesvor_loss(params, consts, cfg, bb, batch, k2)
         return sum(w * losses[kk] for kk, w in lw.items() if kk in losses)
 
-    def f_grad(params, k):
-        g = jax.grad(f_loss)(params, k)
+    def f_grad(params, data, k):
+        g = jax.grad(f_loss)(params, data, k)
         return sum(jnp.sum(jnp.abs(l)) for l in jax.tree_util.tree_leaves(g))
 
     run_chunk = T.make_train_step(cfg, bb, lw, tx, B, n_pixels)
@@ -127,12 +138,14 @@ def main():
         return losses[M.D_LOSS]
 
     for name, fn in [
+        ("batch draw", scan_over(f_batch)),
+        ("mc rng", scan_over(f_rng)),
         ("sample+transform", scan_over(f_sample)),
         ("  +encode+mlp fwd", scan_over(f_encode)),
         ("full loss fwd", scan_over(f_loss)),
         ("fwd+grad", scan_over(f_grad)),
     ]:
-        dt = timed(fn, params, jax.random.PRNGKey(1))
+        dt = timed(fn, params, data, jax.random.PRNGKey(1))
         print(f"{name}: {dt/n_steps*1e3:.1f} ms/step", flush=True)
 
     full_step()

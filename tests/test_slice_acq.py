@@ -221,3 +221,133 @@ def test_forward_adjoint_consistency():
     b = np.asarray(blurred[0, 0]).reshape(-1)
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.9, corr
+
+
+# ---------------------------------------------------------------------------
+# slab fast path (res_slice == 1) vs general tap-scan path equivalence
+# ---------------------------------------------------------------------------
+
+
+def _rand_case(seed=0, n=5, h=17, w=19, vol_shape=(20, 22, 24), masked=True):
+    rng = np.random.default_rng(seed)
+    vol = jnp.asarray(rng.normal(size=vol_shape).astype(np.float32))
+    vol_mask = (
+        jnp.asarray(rng.uniform(size=vol_shape) > 0.3) if masked else None
+    )
+    slices_mask = (
+        jnp.asarray(rng.uniform(size=(n, 1, h, w)) > 0.2) if masked else None
+    )
+    ax = rng.normal(size=(n, 6)).astype(np.float32) * 0.3
+    ax[:, 5] = np.linspace(-6, 6, n)
+    from nesvor_tpu.transform import axisangle2mat
+
+    mats = axisangle2mat(jnp.asarray(ax))
+    psf = jnp.asarray(get_psf(res_ratio=(1.0, 1.0, 2.0)))
+    slices = jnp.asarray(rng.normal(size=(n, 1, h, w)).astype(np.float32))
+    return vol, vol_mask, slices, slices_mask, mats, psf, (h, w), vol_shape
+
+
+def test_forward_slab_matches_taps():
+    from nesvor_tpu.ops import slice_acq as sa
+
+    for masked in (False, True):
+        vol, vol_mask, _, slices_mask, mats, psf, ss, _ = _rand_case(
+            seed=1, masked=masked
+        )
+        # public API at res 1 routes to the slab path
+        out_fast, wt_fast = slice_acquisition(
+            mats, vol, vol_mask, slices_mask, psf, ss, 1.0, True, False
+        )
+        taps = jnp.concatenate(
+            [jnp.asarray(sa._tap_offsets(psf.shape)), psf.reshape(-1, 1)], 1
+        )
+        out_ref, wt_ref = sa._forward_impl(
+            mats,
+            vol,
+            vol_mask,
+            slices_mask,
+            psf.reshape(-1),
+            taps,
+            ss,
+            1.0,
+            True,
+            False,
+            tuple(psf.shape),
+        )
+        assert_close(out_fast, out_ref, atol=2e-4, rtol=1e-4)
+        assert_close(wt_fast, wt_ref, atol=2e-4, rtol=1e-4)
+
+
+def test_adjoint_slab_matches_taps():
+    from nesvor_tpu.ops import slice_acq as sa
+
+    for masked in (False, True):
+        for equalize in (False, True):
+            vol, vol_mask, slices, slices_mask, mats, psf, ss, vshape = _rand_case(
+                seed=2, masked=masked
+            )
+            v_fast, w_fast = slice_acquisition_adjoint(
+                mats, psf, slices, slices_mask, vol_mask, vshape, 1.0,
+                False, equalize, return_weight=True,
+            )
+            v_ref, w_ref = sa._adjoint_impl(
+                mats,
+                psf.reshape(-1),
+                jnp.concatenate(
+                    [jnp.asarray(sa._tap_offsets(psf.shape)), psf.reshape(-1, 1)], 1
+                ),
+                slices,
+                slices_mask,
+                vol_mask,
+                vshape,
+                1.0,
+                False,
+                equalize,
+                tuple(psf.shape),
+                True,
+            )
+            assert_close(v_fast, v_ref, atol=3e-4, rtol=1e-4)
+            assert_close(w_fast, w_ref, atol=3e-4, rtol=1e-4)
+
+
+def test_slab_grad_matches_taps():
+    """vol/transform/slices grads of the slab path equal the tap path's."""
+    from nesvor_tpu.ops import slice_acq as sa
+
+    vol, _, slices, _, mats, psf, ss, vshape = _rand_case(seed=3, masked=False)
+    taps = jnp.concatenate(
+        [jnp.asarray(sa._tap_offsets(psf.shape)), psf.reshape(-1, 1)], 1
+    )
+
+    def loss_fast(v, m):
+        out = slice_acquisition(m, v, None, None, psf, ss, 1.0, False, False)
+        return jnp.sum(out * slices)
+
+    def loss_ref(v, m):
+        out, _ = sa._forward_impl(
+            m, v, None, None, psf.reshape(-1), taps, ss, 1.0, False, False,
+            tuple(psf.shape),
+        )
+        return jnp.sum(out * slices)
+
+    gv_f, gm_f = jax.grad(loss_fast, argnums=(0, 1))(vol, mats)
+    gv_r, gm_r = jax.grad(loss_ref, argnums=(0, 1))(vol, mats)
+    assert_close(gv_f, gv_r, atol=5e-4, rtol=5e-4)
+    assert_close(gm_f, gm_r, atol=5e-3, rtol=5e-4)
+
+    def loss_adj_fast(s):
+        v = slice_acquisition_adjoint(
+            mats, psf, s, None, None, vshape, 1.0, False, True
+        )
+        return jnp.sum(v * vol)
+
+    def loss_adj_ref(s):
+        v = sa._adjoint_impl(
+            mats, psf.reshape(-1), taps, s, None, None, vshape, 1.0,
+            False, True, tuple(psf.shape), False,
+        )
+        return jnp.sum(v * vol)
+
+    gs_f = jax.grad(loss_adj_fast)(slices)
+    gs_r = jax.grad(loss_adj_ref)(slices)
+    assert_close(gs_f, gs_r, atol=5e-4, rtol=5e-4)
