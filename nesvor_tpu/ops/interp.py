@@ -2,7 +2,16 @@
 
 The reference uses F.grid_sample with align_corners=True and zero padding
 (nesvor/image/image.py:124-132, nesvor/svort/registration.py:240-254).
-Implemented as vectorized gathers — XLA fuses the 8-corner interpolation.
+
+Two implementations:
+  * plain: 8 narrow gathers per point (XLA fuses the interpolation) — fine
+    on CPU and for small point sets;
+  * corner-packed (``corner_pack_volume`` + passing the packed volume):
+    the volume is zero-padded by one voxel and stored as (cells, 8) rows so
+    each sample needs ONE 32-byte gather (XLA's gather is latency-bound and
+    width-independent to 64 B — PERF.md). The halo makes torch's
+    zero-padding semantics exact with no per-corner masking: a point in the
+    border band interpolates against halo zeros with the same weights.
 """
 
 from __future__ import annotations
@@ -10,8 +19,89 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def grid_sample_3d(volume: jnp.ndarray, xyz: jnp.ndarray) -> jnp.ndarray:
-    """Sample ``volume`` (D, H, W) at normalized coords ``xyz`` (..., 3).
+class PackedVolume:
+    """Corner-packed zero-haloed volume for one-gather trilinear sampling.
+
+    ``rows[i]`` holds the 8 cell corners (dx fastest) of cell i of the
+    1-voxel-zero-padded volume; ``shape`` is the ORIGINAL (D, H, W)."""
+
+    def __init__(self, rows: jnp.ndarray, shape):
+        self.rows = rows
+        self.shape = tuple(shape)
+
+    def tree_flatten(self):
+        return (self.rows,), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, shape, children):
+        return cls(children[0], shape)
+
+
+import jax  # noqa: E402
+
+jax.tree_util.register_pytree_node(
+    PackedVolume, PackedVolume.tree_flatten, PackedVolume.tree_unflatten
+)
+
+
+def corner_pack_volume(volume: jnp.ndarray) -> PackedVolume:
+    """(D, H, W) -> PackedVolume with ((D+1)(H+1)(W+1), 8) corner rows.
+
+    Pad-by-one on every side, then cells (Dp-1)(Hp-1)(Wp-1) = (D+1)(H+1)(W+1)
+    each store their 8 corners contiguously."""
+    D, H, W = volume.shape
+    p = jnp.pad(volume, 1)
+    cols = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                cols.append(
+                    p[dz : dz + D + 1, dy : dy + H + 1, dx : dx + W + 1].reshape(-1)
+                )
+    return PackedVolume(jnp.stack(cols, axis=1), (D, H, W))
+
+
+def _trilinear_packed(packed: PackedVolume, x, y, z):
+    """One-gather trilinear sample at voxel coords (zero outside), exact
+    torch zero-padding semantics: the one-voxel halo reproduces the border
+    fade-out band (x in (-1, 0) or (size-1, size)) with the standard
+    weights; a single mask zeroes points with no in-range corner."""
+    D, H, W = packed.shape
+    xp = x + 1.0
+    yp = y + 1.0
+    zp = z + 1.0
+    inside = (
+        (xp > 0) & (xp < W + 1) & (yp > 0) & (yp < H + 1) & (zp > 0) & (zp < D + 1)
+    )
+    xp = jnp.clip(xp, 0.0, W + 1 - 1e-6)
+    yp = jnp.clip(yp, 0.0, H + 1 - 1e-6)
+    zp = jnp.clip(zp, 0.0, D + 1 - 1e-6)
+    x0 = jnp.floor(xp).astype(jnp.int32)
+    y0 = jnp.floor(yp).astype(jnp.int32)
+    z0 = jnp.floor(zp).astype(jnp.int32)
+    wx = xp - x0
+    wy = yp - y0
+    wz = zp - z0
+    idx = (z0 * (H + 1) + y0) * (W + 1) + x0
+    rows = jnp.take(packed.rows, idx, axis=0)  # (..., 8)
+    c = 0
+    out = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = (
+                    (wx if dx else 1.0 - wx)
+                    * (wy if dy else 1.0 - wy)
+                    * (wz if dz else 1.0 - wz)
+                )
+                out = out + w * rows[..., c]
+                c += 1
+    return jnp.where(inside, out, 0.0)
+
+
+def grid_sample_3d(volume, xyz: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``volume`` (D, H, W) — or a ``PackedVolume`` — at normalized
+    coords ``xyz`` (..., 3).
 
     ``xyz`` is in [-1, 1] with align_corners=True semantics: -1 maps to
     voxel 0 and +1 to voxel (size-1) along each axis; x indexes W, y indexes
@@ -24,6 +114,8 @@ def grid_sample_3d(volume: jnp.ndarray, xyz: jnp.ndarray) -> jnp.ndarray:
     x = (xyz[:, 0] + 1.0) * 0.5 * (W - 1)
     y = (xyz[:, 1] + 1.0) * 0.5 * (H - 1)
     z = (xyz[:, 2] + 1.0) * 0.5 * (D - 1)
+    if isinstance(volume, PackedVolume):
+        return _trilinear_packed(volume, x, y, z).reshape(shape)
     return _trilinear_zero_pad(volume, x, y, z).reshape(shape)
 
 

@@ -295,12 +295,18 @@ class VVR(Registration):
         )
         grid = grid[..., 0] * self._grid_scale  # (N, V, 3)
 
-        src3d = source[:, 0] if source.shape[0] > 1 else source[0, 0]
+        # corner-packed sampling: one 32 B gather per warped point instead of
+        # 8 (the finite-difference grad warps a 13x parameter batch through
+        # this — the dominant cost of VVR on TPU)
+        from ..ops.interp import corner_pack_volume
 
         if source.shape[0] == 1:
-            warped = jax.vmap(lambda g: grid_sample_3d(src3d, g))(grid)
+            packed = corner_pack_volume(source[0, 0])
+            warped = jax.vmap(lambda g: grid_sample_3d(packed, g))(grid)
         else:
-            warped = jax.vmap(lambda v, g: grid_sample_3d(v, g))(source[:, 0], grid)
+            warped = jax.vmap(
+                lambda v, g: grid_sample_3d(corner_pack_volume(v), g)
+            )(source[:, 0], grid)
         tgt = jnp.broadcast_to(
             self._target_flat[None], (theta.shape[0],) + self._target_flat.shape
         )

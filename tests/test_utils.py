@@ -65,3 +65,27 @@ def test_gaussian_blur_preserves_mean():
     assert y.shape == x.shape
     # interior mean approximately preserved
     assert abs(float(y[0, 0, 4:-4, 4:-4, 4:-4].mean() - x[0, 0, 4:-4, 4:-4, 4:-4].mean())) < 0.05
+
+
+def test_packed_grid_sample_matches_plain():
+    """Corner-packed one-gather sampling == plain 8-gather zero-pad
+    sampling, including the border fade-out band and fully-outside points."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nesvor_tpu.ops.interp import corner_pack_volume, grid_sample_3d
+
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.normal(size=(9, 11, 13)).astype(np.float32))
+    # coords spanning inside, border band, and far outside
+    xyz = jnp.asarray(rng.uniform(-1.6, 1.6, size=(5000, 3)).astype(np.float32))
+    ref = grid_sample_3d(vol, xyz)
+    out = grid_sample_3d(corner_pack_volume(vol), xyz)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    # gradients w.r.t. coords agree too (VVR auto_grad path)
+    g_ref = jax.grad(lambda p: jnp.sum(grid_sample_3d(vol, p) ** 2))(xyz)
+    g_out = jax.grad(
+        lambda p: jnp.sum(grid_sample_3d(corner_pack_volume(vol), p) ** 2)
+    )(xyz)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=1e-4, rtol=1e-4)
