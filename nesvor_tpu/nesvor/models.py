@@ -169,19 +169,37 @@ def build_inr_config(bounding_box, args) -> INRConfig:
 # ---------------------------------------------------------------------------
 
 
-def mlp_init(key, n_in: int, n_out: int, width: int, depth: int) -> Dict:
+def mlp_init(
+    key, n_in: int, n_out: int, width: int, depth: int, zero_last: bool = False
+) -> Dict:
     """MLP with ``depth`` hidden layers of ``width`` (reference build_network,
-    models.py:27-69). He-uniform init."""
+    models.py:27-69). He-uniform init.
+
+    ``zero_last`` zeroes the output layer — used for the variance/bias heads
+    so they start flat (log_var = 0, log_bias = 0). The reference gets this
+    behavior implicitly: its hash-grid features start at 1e-4, so the torch
+    default-initialized heads see a near-constant input; the fourier encoder
+    emits full-scale features from step 0, and a randomly-initialized
+    variance head then weights pixels with random noise early in training,
+    which can push the density net into the dead softplus-saturated zero
+    optimum (measured: -21.8 dB with a 64x1 random-init head vs 19.3+ dB
+    flat-start)."""
     dims = [n_in] + [width] * depth + [n_out]
     layers = []
     for i in range(len(dims) - 1):
         key, sub = jax.random.split(key)
         bound = 1.0 / math.sqrt(dims[i])
-        w = jax.random.uniform(
-            sub, (dims[i], dims[i + 1]), jnp.float32, -bound, bound
-        )
-        key, sub = jax.random.split(key)
-        b = jax.random.uniform(sub, (dims[i + 1],), jnp.float32, -bound, bound)
+        if zero_last and i == len(dims) - 2:
+            w = jnp.zeros((dims[i], dims[i + 1]), jnp.float32)
+            b = jnp.zeros((dims[i + 1],), jnp.float32)
+        else:
+            w = jax.random.uniform(
+                sub, (dims[i], dims[i + 1]), jnp.float32, -bound, bound
+            )
+            key, sub = jax.random.split(key)
+            b = jax.random.uniform(
+                sub, (dims[i + 1],), jnp.float32, -bound, bound
+            )
         layers.append({"w": w, "b": b})
     return {"layers": layers}
 
@@ -326,6 +344,7 @@ def init_nesvor(
             cfg.n_features_slice + cfg.inr.n_features_z,
             1,
             *cfg.head_size,
+            zero_last=True,
         )
     if cfg.n_levels_bias:
         params["b_net"] = mlp_init(
@@ -333,6 +352,7 @@ def init_nesvor(
             cfg.n_levels_bias * cfg.inr.features_per_level + cfg.n_features_slice,
             1,
             *cfg.head_size,
+            zero_last=True,
         )
     consts = {
         "axisangle_init": jnp.asarray(axisangle, jnp.float32),
