@@ -25,16 +25,71 @@ from .train import INRModel
 @partial(jax.jit, static_argnames=("cfg", "n_samples"))
 def _eval_chunk(params, cfg, bounding_box, xyz, psf_sigma, n_samples, key, mats):
     """Render one padded chunk of points: MC-PSF average of the INR density
-    (reference sample.py:17-33). ``mats`` is (N, 3, 4) or None."""
-    pts = sample_batch(xyz, mats, psf_sigma, n_samples, key)
-    density, _, _ = inr_forward(params, cfg, bounding_box, pts)
-    return density.mean(-1)
+    (reference sample.py:17-33). ``mats`` is (N, 3, 4) or None.
+
+    The MC axis is evaluated in scanned groups so peak activation memory is
+    bounded by ``batch * group`` points, not ``batch * n_samples`` (the
+    default 32768 x 512 would need ~16 GB of width-256 activations)."""
+    if n_samples <= 1:
+        pts = sample_batch(xyz, mats, psf_sigma, n_samples, key)
+        density, _, _ = inr_forward(params, cfg, bounding_box, pts)
+        return density.mean(-1)
+
+    group = n_samples
+    while group * xyz.shape[0] > 2**21:
+        if group % 2:
+            break
+        group //= 2
+    n_groups = -(-n_samples // group)
+
+    def body(acc, k):
+        pts = sample_batch(xyz, mats, psf_sigma, group, k)
+        density, _, _ = inr_forward(params, cfg, bounding_box, pts)
+        return acc + density.sum(-1), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros(xyz.shape[0], jnp.float32), jax.random.split(key, n_groups)
+    )
+    return acc / (n_groups * group)
+
+
+def _eval_points(
+    model: INRModel,
+    xyz: jnp.ndarray,
+    mats,
+    psf_sigma,
+    n_samples: int,
+    batch_size: int,
+    key,
+) -> np.ndarray:
+    """Evaluate points in fixed-size padded chunks (one compiled shape).
+    ``mats`` is None or (N, 3, 4) per-point matrices."""
+    n = xyz.shape[0]
+    out = np.empty(n, dtype=np.float32)
+    for i in range(0, n, batch_size):
+        chunk = xyz[i : i + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = jnp.concatenate([chunk, jnp.zeros((pad, 3), chunk.dtype)], 0)
+        m = None
+        if mats is not None:
+            m = mats[i : i + batch_size]
+            if pad:
+                m = jnp.concatenate(
+                    [m, jnp.broadcast_to(jnp.eye(3, 4, dtype=m.dtype), (pad, 3, 4))], 0
+                )
+        key, k = jax.random.split(key)
+        v = _eval_chunk(
+            model.params, model.cfg, model.bounding_box, chunk, psf_sigma,
+            n_samples, k, m,
+        )
+        out[i : i + batch_size] = np.asarray(v)[: batch_size - pad]
+    return out
 
 
 def sample_points(model: INRModel, xyz: jnp.ndarray, args: Namespace) -> jnp.ndarray:
     shape = xyz.shape[:-1]
     xyz = xyz.reshape(-1, 3)
-    n = xyz.shape[0]
     batch_size = int(args.inference_batch_size)
     n_samples = (
         0 if getattr(args, "no_output_psf", False) else int(args.n_inference_samples)
@@ -42,19 +97,7 @@ def sample_points(model: INRModel, xyz: jnp.ndarray, args: Namespace) -> jnp.nda
     n_samples = max(n_samples, 1)
     psf_sigma = resolution2sigma(float(args.output_resolution), isotropic=True)
     key = jax.random.PRNGKey(getattr(args, "seed", 0) or 0)
-
-    out = np.empty(n, dtype=np.float32)
-    for i in range(0, n, batch_size):
-        chunk = xyz[i : i + batch_size]
-        pad = batch_size - chunk.shape[0]
-        if pad:
-            chunk = jnp.concatenate([chunk, jnp.zeros((pad, 3), chunk.dtype)], 0)
-        key, k = jax.random.split(key)
-        v = _eval_chunk(
-            model.params, model.cfg, model.bounding_box, chunk, psf_sigma,
-            n_samples, k, None,
-        )
-        out[i : i + batch_size] = np.asarray(v)[: batch_size - pad]
+    out = _eval_points(model, xyz, None, psf_sigma, n_samples, batch_size, key)
     return jnp.asarray(out.reshape(shape))
 
 
@@ -90,15 +133,16 @@ def sample_slice(
     mats = out.transformation.matrix(trans_first=True)
     midx = jnp.nonzero(m)[0]
     xyz_masked = xyz[midx]
-    pts = sample_batch(
+    v = _eval_points(
+        model,
         xyz_masked,
         jnp.broadcast_to(mats, (xyz_masked.shape[0], 3, 4)),
         psf_sigma,
         n_samples,
+        int(getattr(args, "inference_batch_size", 0) or 32768),
         key,
     )
-    density, _, _ = inr_forward(model.params, model.cfg, model.bounding_box, pts)
-    v = density.mean(-1)
+    v = jnp.asarray(v)
     mask_img = m.reshape(out.mask.shape)
     out.mask = mask_img
     out.image = out.image.reshape(-1).at[midx].set(v).reshape(out.image.shape)

@@ -44,6 +44,12 @@ from .models import (
 )
 
 
+# telemetry from the most recent train() call (steady-state step time from
+# the adaptive-chunk measurement, wall clock, chunk size) — consumed by
+# bench.py to report compile-vs-steady split
+LAST_RUN_STATS: Dict[str, float] = {}
+
+
 @dataclass
 class INRModel:
     """Trained-INR handle: everything needed to sample the volume and to
@@ -413,6 +419,7 @@ def train(
             chunk_timings.append(dt_chunk)
             if len(chunk_timings) == 2:
                 step_time = chunk_timings[1] / max_chunk
+                LAST_RUN_STATS["steady_ms_per_step"] = step_time * 1e3
                 max_chunk = int(min(250, max(max_chunk, 30.0 / max(step_time, 1e-3))))
                 adaptive = False
                 logging.debug(
