@@ -205,20 +205,29 @@ def mlp_init(
 
 
 def mlp_apply(params: Dict, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """ReLU MLP; matmuls in ``compute_dtype`` (MXU), fp32 accumulation."""
+    """ReLU MLP on the MXU.
+
+    Hidden activations stay in ``compute_dtype`` end-to-end (the MXU still
+    accumulates each dot in f32 internally; only the stored tensor is
+    rounded). At the training batch (1M points x width 256) f32 hidden
+    activations made the MLP stack bandwidth-bound at 37 GB/step — 80% of
+    the whole step (profiled); bf16 halves that traffic. Matches the
+    reference operating point (tiny-cuda-nn computes the whole MLP in fp16
+    with fp32 accumulation). The final layer emits f32 for the loss heads."""
     h = x.astype(compute_dtype)
     layers = params["layers"]
     for i, layer in enumerate(layers):
+        last = i == len(layers) - 1
         h = (
             jnp.dot(
                 h,
                 layer["w"].astype(compute_dtype),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32 if last else compute_dtype,
             )
-            + layer["b"]
+            + layer["b"].astype(jnp.float32 if last else compute_dtype)
         )
-        if i < len(layers) - 1:
-            h = jax.nn.relu(h).astype(compute_dtype)
+        if not last:
+            h = jax.nn.relu(h)
     return h  # fp32 out
 
 
