@@ -213,7 +213,26 @@ def mlp_apply(params: Dict, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.n
     activations made the MLP stack bandwidth-bound at 37 GB/step — 80% of
     the whole step (profiled); bf16 halves that traffic. Matches the
     reference operating point (tiny-cuda-nn computes the whole MLP in fp16
-    with fp32 accumulation). The final layer emits f32 for the loss heads."""
+    with fp32 accumulation). The final layer emits f32 for the loss heads.
+
+    A fused Pallas kernel (ops/fused_mlp.py — the tcnn fully-fused-MLP
+    analog: whole layer stack in VMEM per row tile, forward recompute in
+    the backward) exists behind NESVOR_TPU_FUSED_MLP=1, but measures
+    SLOWER than this XLA chain on the current toolchain (20.5 vs
+    14.0 ms/step for the density net fwd+bwd at 1M rows; Mosaic does not
+    overlap the tile DMAs with compute when dW accumulators live in
+    VMEM-resident outputs), so the chain is the default."""
+    import os
+
+    if (
+        compute_dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and x.shape[0] >= 2048
+        and os.environ.get("NESVOR_TPU_FUSED_MLP")
+    ):
+        from ..ops.fused_mlp import fused_mlp
+
+        return fused_mlp(params, x, compute_dtype)
     h = x.astype(compute_dtype)
     layers = params["layers"]
     for i, layer in enumerate(layers):

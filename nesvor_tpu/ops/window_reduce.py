@@ -89,7 +89,7 @@ def _kernel(
             preferred_element_type=jnp.float32,
             # f32 path: without HIGHEST the f32 dot is lowered as a single
             # bf16 pass (~0.4% error on the sums). HIGHEST = 3-pass.
-            precision=None if mxu_bf16 else jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.DEFAULT if mxu_bf16 else jax.lax.Precision.HIGHEST,
         )  # (WB, 8C)
         wb = jax.lax.shift_right_arithmetic(base, 3)
         copy_in = pltpu.make_async_copy(
