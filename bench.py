@@ -31,7 +31,7 @@ NOMINAL_A100_WALL_S = 300.0
 def main():
     import logging
 
-    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    logging.basicConfig(level=logging.DEBUG, stream=sys.stderr)
 
     from tests.synth import make_phantom_stacks, stacks_to_slices, psnr
     from nesvor_tpu.nesvor.train import train

@@ -10,8 +10,10 @@ bridges, slice-gap-initialized stack transforms), but all tensor math is JAX.
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Dict, List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -136,6 +138,50 @@ class Slice(Image):
         )
 
 
+@partial(jax.jit, static_argnames=("res_xyz", "res_new"))
+def _resample_bounds_jit(mask, transformation, transformation_new, res_xyz, res_new):
+    """Bounds (2, 3) of the masked voxels in the new frame, ±10 voxels."""
+    shape = mask.shape  # (D, H, W), static
+    grid = meshgrid(
+        (shape[2], shape[1], shape[0]), res_xyz
+    ).reshape(-1, 3)
+    xyz = transform_points(transformation, grid)
+    R = transformation_new.matrix()[0, :3, :3]
+    xyz = jnp.matmul(jnp.linalg.inv(R), xyz[..., None])[..., 0]
+    m = mask.reshape(-1, 1)
+    rn = jnp.asarray(res_new, xyz.dtype)
+    lo = jnp.min(jnp.where(m, xyz, jnp.inf), axis=0) - rn * 10
+    hi = jnp.max(jnp.where(m, xyz, -jnp.inf), axis=0) + rn * 10
+    return jnp.stack([lo, hi], 0)
+
+
+@partial(jax.jit, static_argnames=("shape_new", "res_xyz", "res_new"))
+def _resample_eval_jit(
+    image, transformation, transformation_new, xyz_min, shape_new, res_xyz, res_new
+):
+    """Build the new-frame grid and trilinearly sample the volume — one
+    compiled program per (shape, resolution) combination."""
+    R = transformation_new.matrix()[0, :3, :3]
+    mat = jnp.zeros((1, 3, 4), dtype=R.dtype)
+    mat = mat.at[0, :, :3].set(R)
+    shape_arr = jnp.asarray(shape_new, jnp.float32)
+    rn = jnp.asarray(res_new, jnp.float32)
+    mat = mat.at[0, :, -1].set(xyz_min + (shape_arr - 1) / 2 * rn)
+
+    # meshgrid with a traced origin (utils.meshgrid coerces min to host floats)
+    axes = [
+        jnp.arange(s, dtype=jnp.float32) * r + xyz_min[i]
+        for i, (s, r) in enumerate(zip(shape_new, res_new))
+    ]
+    grid = jnp.stack(jnp.meshgrid(*axes[::-1], indexing="ij")[::-1], -1)
+    grid = jnp.matmul(R, grid[..., None])[..., 0]
+    xyz = transform_points(transformation.inv(), grid.reshape(-1, 3))
+    shape_old = jnp.asarray(image.shape[::-1], jnp.float32)
+    xyz = xyz / ((shape_old - 1) * jnp.asarray(res_xyz, jnp.float32) / 2)
+    v = grid_sample_3d(image, xyz).reshape(grid.shape[:-1])
+    return v, mat
+
+
 class Volume(Image):
     """3-D volume with point sampling and resampling (reference image.py:123-177)."""
 
@@ -150,38 +196,49 @@ class Volume(Image):
         resolution_new: Optional[Union[float, jnp.ndarray]],
         transformation_new: Optional[RigidTransform] = None,
     ) -> "Volume":
+        """Two jitted dispatches (bounds, then static-shape grid+sample):
+        the eager formulation cost ~100 s of per-op dispatch latency through
+        the remote-TPU tunnel at typical volume sizes."""
         if transformation_new is None:
             transformation_new = self.transformation
-        R = transformation_new.matrix()[0, :3, :3]
         if resolution_new is None:
-            resolution_new = self.resolution_xyz
+            res_new = tuple(float(r) for r in np.asarray(self.resolution_xyz))
         elif isinstance(resolution_new, (float, int)):
-            resolution_new = jnp.full((3,), float(resolution_new), dtype=jnp.float32)
+            res_new = (float(resolution_new),) * 3
+        else:
+            res_new = tuple(float(r) for r in np.asarray(resolution_new))
 
-        xyz = self.xyz_masked
-        xyz = jnp.matmul(jnp.linalg.inv(R), xyz.reshape(-1, 3, 1))[..., 0]
+        res_xyz = tuple(float(r) for r in np.asarray(self.resolution_xyz))
+        bounds = np.asarray(
+            _resample_bounds_jit(
+                self.mask, self.transformation, transformation_new, res_xyz, res_new
+            )
+        )  # one fetch
+        xyz_min = bounds[0]
+        # bucket the output shape to multiples of 8: the sampled extent is
+        # data-dependent, and an exact shape would force a fresh compile of
+        # the grid+sample program on every call (~60 s through the remote
+        # compile service); the extra border voxels fall outside the mask
+        shape_xyz = (
+            np.ceil(np.ceil((bounds[1] - bounds[0]) / np.asarray(res_new)) / 8) * 8
+        ).astype(int)
 
-        xyz_min = xyz.min(0) - resolution_new * 10
-        xyz_max = xyz.max(0) + resolution_new * 10
-        shape_xyz = np.asarray(jnp.ceil((xyz_max - xyz_min) / resolution_new)).astype(
-            int
+        v, mat = _resample_eval_jit(
+            self.image,
+            self.transformation,
+            transformation_new,
+            jnp.asarray(xyz_min, jnp.float32),
+            tuple(int(s) for s in shape_xyz),
+            res_xyz,
+            res_new,
         )
-
-        mat = jnp.zeros((1, 3, 4), dtype=R.dtype)
-        mat = mat.at[0, :, :3].set(R)
-        mat = mat.at[0, :, -1].set(xyz_min + (shape_xyz - 1) / 2 * resolution_new)
-
-        grid = meshgrid(shape_xyz, np.asarray(resolution_new), np.asarray(xyz_min))
-        grid = jnp.matmul(R, grid[..., None])[..., 0]
-        v = self.sample_points(grid)
-
         return Volume(
             v,
             v > 0,
             RigidTransform(mat, trans_first=True),
-            float(resolution_new[0]),
-            float(resolution_new[1]),
-            float(resolution_new[2]),
+            res_new[0],
+            res_new[1],
+            res_new[2],
         )
 
     def clone(self, zero: bool = False) -> "Volume":

@@ -104,11 +104,25 @@ def sample_points(model: INRModel, xyz: jnp.ndarray, args: Namespace) -> jnp.nda
 def sample_volume(model: INRModel, mask: Volume, args: Namespace) -> Volume:
     """Resample the mask to the output resolution and fill masked voxels from
     the INR (reference sample.py:10-14)."""
+    import logging
+    import time
+
+    t0 = time.time()
     img = mask.resample(args.output_resolution, None)
-    values = sample_points(model, img.xyz_masked, args)
+    np.asarray(img.image.ravel()[0])  # sync (block_until_ready is a no-op here)
+    t05 = time.time()
+    xyz = img.xyz_masked
+    np.asarray(xyz.ravel()[0])
+    t1 = time.time()
+    values = sample_points(model, xyz, args)
+    t2 = time.time()
     flat = img.image.reshape(-1)
     midx = jnp.nonzero(img.mask.reshape(-1))[0]
     img.image = flat.at[midx].set(values).reshape(img.image.shape)
+    logging.debug(
+        "sample_volume: resample %.1f s, xyz_masked %.1f s, %d voxels eval %.1f s",
+        t05 - t0, t1 - t05, int(xyz.shape[0]), t2 - t1,
+    )
     return img
 
 

@@ -60,6 +60,71 @@ class INRModel:
     bounding_box: jnp.ndarray
 
 
+@jax.jit
+def _points_bounds_jit(xyz, slice_idx, transformation):
+    from ..transform import mat_transform_points
+
+    mat = transformation.matrix(trans_first=True)
+    xyz_t = mat_transform_points(mat[slice_idx], xyz, True)
+    return jnp.stack([xyz_t.min(0), xyz_t.max(0)], 0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("shape", "mask_threshold", "resolution_min", "resolution_max"),
+)
+def _occupancy_jit(
+    xyz,
+    slice_idx,
+    transformation,
+    resolution,
+    xyz_min,
+    shape,
+    mask_threshold,
+    resolution_min,
+    resolution_max,
+):
+    from ..transform import mat_transform_points
+
+    mat = transformation.matrix(trans_first=True)
+    xyz_t = mat_transform_points(mat[slice_idx], xyz, True)
+    kji = jnp.round((xyz_t - xyz_min) / resolution_min).astype(jnp.int32)
+    flat = kji[..., 0] + shape[2] * kji[..., 1] + shape[2] * shape[1] * kji[..., 2]
+    counts = jnp.bincount(flat, length=shape[0] * shape[1] * shape[2])
+    mask = counts.reshape((1, 1) + shape).astype(jnp.float32)
+    thr = (
+        mask_threshold
+        * resolution_min**3
+        / jnp.exp(jnp.log(resolution).mean()) ** 3
+    )
+    thr = thr * (mask.sum() / jnp.maximum((mask > 0).sum(), 1))
+    return (
+        gaussian_blur(mask, resolution_max / resolution_min, 3.0) > thr
+    )[0, 0]
+
+
+@jax.jit
+def _bbox_mean_jit(xyz, v, slice_idx, transformation, resolution):
+    from ..transform import mat_transform_points
+
+    mat = transformation.matrix(trans_first=True)
+    xyz_t = mat_transform_points(mat[slice_idx], xyz, True)
+    max_r = resolution.max()
+    bbox = jnp.stack([xyz_t.min(0) - 2 * max_r, xyz_t.max(0) + 2 * max_r], 0)
+    vq = v if v.size < 256**3 else v[: 256**3]
+    q1, q2 = jnp.quantile(vq, jnp.asarray([0.1, 0.9], dtype=vq.dtype))
+    sel = jnp.logical_and(v > q1, v < q2)
+    n_sel = sel.sum()
+    # empty quantile band (discrete intensities): fall back to the plain
+    # mean (the reference would produce NaN here)
+    mean = jnp.where(
+        n_sel > 0,
+        jnp.where(sel, v, 0).sum() / jnp.maximum(n_sel, 1),
+        v.mean(),
+    )
+    return bbox, mean
+
+
 class Dataset:
     """Flattens all masked pixels of all slices into device-resident arrays
     (reference train.py:19-41)."""
@@ -74,14 +139,31 @@ class Dataset:
         resolution_all = []
         from ..native import pixel_bag as _native_bag
 
+        # batch-fetch all slice images/masks, one transfer per distinct
+        # shape (per-slice np.asarray costs a ~0.25 s tunnel round trip
+        # each — ~60 s for a typical 229-slice dataset)
+        by_shape: Dict[Tuple, List[int]] = {}
+        for i, s in enumerate(slices):
+            by_shape.setdefault(tuple(s.image.shape), []).append(i)
+        img_np: Dict[int, np.ndarray] = {}
+        msk_np: Dict[int, np.ndarray] = {}
+        for idxs in by_shape.values():
+            imgs = np.asarray(jnp.stack([slices[i].image for i in idxs]))
+            msks = np.asarray(jnp.stack([slices[i].mask for i in idxs]))
+            for j, i in enumerate(idxs):
+                img_np[i] = imgs[j]
+                msk_np[i] = msks[j]
+
         for i, s in enumerate(slices):
             # host-side pixel extraction: per-slice jnp.nonzero would compile
             # a fresh device program for every distinct masked-pixel count
             # (hundreds of remote compiles); the fused C++ pass (native/)
             # or numpy does this in microseconds
-            img = np.asarray(s.image)
-            msk = np.asarray(s.mask)
-            res = np.asarray(s.resolution_xyz)
+            img = img_np[i]
+            msk = msk_np[i]
+            res = np.asarray(
+                [s.resolution_x, s.resolution_y, s.resolution_z], np.float32
+            )
             bag = _native_bag(img, msk, res)
             if bag is not None:
                 xyz, v = bag
@@ -112,60 +194,72 @@ class Dataset:
     @property
     def bounding_box(self) -> jnp.ndarray:
         """Extent of transformed points ± 2·max_res (reference train.py:43-50)."""
-        max_r = self.resolution.max()
-        xyz_t = self.xyz_transformed
-        return jnp.stack([xyz_t.min(0) - 2 * max_r, xyz_t.max(0) + 2 * max_r], 0)
+        return self._bbox_mean()[0]
 
     @property
     def mean(self) -> float:
         """Robust mean via the 10-90% quantile band (reference train.py:53-58)."""
-        v = self.v if self.v.size < 256**3 else self.v[: 256**3]
-        q1, q2 = jnp.quantile(v, jnp.asarray([0.1, 0.9], dtype=v.dtype))
-        sel = jnp.logical_and(self.v > q1, self.v < q2)
-        n_sel = int(sel.sum())
-        if n_sel == 0:
-            # discrete-intensity data can make the quantile band empty
-            # (q1 == q2); the reference would produce NaN here — fall back to
-            # the plain mean instead.
-            return float(self.v.mean())
-        return float(jnp.where(sel, self.v, 0).sum() / n_sel)
+        return self._bbox_mean()[1]
+
+    def _bbox_mean(self):
+        """One jitted dispatch for bbox + robust mean (the eager formulation
+        cost ~60 s of per-op dispatch latency through the remote tunnel)."""
+        cache = getattr(self, "_bbox_mean_cache", None)
+        if cache is None or cache[0] is not self.transformation:
+            bbox, mean = _bbox_mean_jit(
+                self.xyz,
+                self.v,
+                self.slice_idx,
+                self.transformation,
+                self.resolution,
+            )
+            self._bbox_mean_cache = (
+                self.transformation,
+                (jnp.asarray(np.asarray(bbox)), float(mean)),
+            )
+        return self._bbox_mean_cache[1]
 
     @property
     def mask(self) -> Volume:
         """Occupancy mask volume: bincount of transformed pixels, blurred and
-        thresholded (reference train.py:82-120)."""
-        resolution_min = float(self.resolution.min())
-        resolution_max = float(self.resolution.max())
-        xyz = self.xyz_transformed
-        xyz_min = np.asarray(xyz.min(0)) - resolution_max * 10
-        xyz_max = np.asarray(xyz.max(0)) + resolution_max * 10
-        shape_xyz = np.ceil((xyz_max - xyz_min) / resolution_min).astype(int)
+        thresholded (reference train.py:82-120). Two jitted dispatches
+        (bounds, then static-shape occupancy)."""
+        res = np.asarray(self.resolution)
+        resolution_min = float(res.min())
+        resolution_max = float(res.max())
+        bounds = np.asarray(
+            _points_bounds_jit(self.xyz, self.slice_idx, self.transformation)
+        )
+        xyz_min = bounds[0] - resolution_max * 10
+        xyz_max = bounds[1] + resolution_max * 10
+        # bucket to multiples of 8: data-dependent shapes would recompile the
+        # occupancy program on every run
+        shape_xyz = (
+            np.ceil(np.ceil((xyz_max - xyz_min) / resolution_min) / 8) * 8
+        ).astype(int)
         shape = (int(shape_xyz[2]), int(shape_xyz[1]), int(shape_xyz[0]))
 
-        kji = jnp.round((xyz - jnp.asarray(xyz_min)) / resolution_min).astype(jnp.int32)
-        flat = (
-            kji[..., 0]
-            + shape[2] * kji[..., 1]
-            + shape[2] * shape[1] * kji[..., 2]
+        mask = _occupancy_jit(
+            self.xyz,
+            self.slice_idx,
+            self.transformation,
+            self.resolution,
+            jnp.asarray(xyz_min, jnp.float32),
+            shape,
+            float(self.mask_threshold),
+            resolution_min,
+            resolution_max,
         )
-        counts = jnp.bincount(flat, length=shape[0] * shape[1] * shape[2])
-        mask = counts.reshape((1, 1) + shape).astype(jnp.float32)
-        mask_threshold = (
-            self.mask_threshold
-            * resolution_min**3
-            / float(jnp.exp(jnp.log(self.resolution).mean())) ** 3
-        )
-        mask_threshold *= float(mask.sum() / jnp.maximum((mask > 0).sum(), 1))
-        mask = (
-            gaussian_blur(mask, resolution_max / resolution_min, 3.0) > mask_threshold
-        )[0, 0]
 
-        xyz_c = jnp.asarray(xyz_min) + (shape_xyz - 1) / 2 * resolution_min
+        xyz_c = xyz_min + (shape_xyz - 1) / 2 * resolution_min
         return Volume(
             mask.astype(jnp.float32),
             mask,
             RigidTransform(
-                jnp.concatenate([0 * xyz_c, xyz_c]).reshape(1, 6), True
+                jnp.asarray(
+                    np.concatenate([0 * xyz_c, xyz_c]).reshape(1, 6), jnp.float32
+                ),
+                True,
             ),
             resolution_min,
             resolution_min,
@@ -298,9 +392,29 @@ def make_train_step(
         )
 
     @partial(jax.jit, static_argnames=("n_steps",))
-    def run_chunk(params, opt_state, consts, data, key, n_steps: int):
+    def run_chunk_jit(params, opt_state, consts, data, key, n_steps: int):
         keys = jax.random.split(key, n_steps)
-        return scan_chunk(params, opt_state, consts, data, keys)
+        params, opt_state, losses = scan_chunk(params, opt_state, consts, data, keys)
+        # stack the loss dict into ONE array: the host then fetches it once
+        # per chunk (each separate device->host fetch costs a ~26 ms tunnel
+        # RTT; the dict form cost 6 RTTs per chunk)
+        return params, opt_state, jnp.stack([losses[k] for k in sorted(losses)])
+
+    # loss keys are cfg-static (mirror nesvor_loss's emission logic)
+    names = [D_LOSS, I_REG]
+    if not (cfg.no_pixel_variance and cfg.no_slice_variance):
+        names += [S_LOSS, DS_LOSS]
+    if not cfg.no_transformation_optimization:
+        names += [T_REG]
+    if cfg.n_levels_bias:
+        names += [B_REG]
+    names = sorted(names)
+
+    def run_chunk(params, opt_state, consts, data, key, n_steps: int):
+        params, opt_state, stack = run_chunk_jit(
+            params, opt_state, consts, data, key, n_steps
+        )
+        return params, opt_state, names, stack
 
     return run_chunk
 
@@ -310,8 +424,12 @@ def train(
 ) -> Tuple[INRModel, List[Slice], Volume]:
     """Main training loop (reference train.py:123-232). Returns the trained
     INR, slices with optimized poses, and the occupancy mask volume."""
+    import time as _time
+
+    _t0 = _time.time()
     dataset = Dataset(slices, args)
     bounding_box = dataset.bounding_box
+    logging.debug("train setup: dataset+bbox %.1f s", _time.time() - _t0)
     inr_cfg = build_inr_config(bounding_box, args)
     cfg = NeSVoRConfig(
         inr=inr_cfg,
@@ -339,9 +457,15 @@ def train(
     seed = args.seed if getattr(args, "seed", None) is not None else 0
     key = jax.random.PRNGKey(seed)
     key, k_init = jax.random.split(key)
-    params, consts = init_nesvor(
-        k_init, cfg, dataset.transformation, dataset.resolution, dataset.mean
+    _t0 = _time.time()
+    params, consts = jax.jit(init_nesvor, static_argnames=("cfg", "v_mean"))(
+        k_init,
+        cfg,
+        dataset.transformation,
+        dataset.resolution,
+        v_mean=dataset.mean,
     )
+    logging.debug("train setup: mean+init %.1f s", _time.time() - _t0)
 
     tx, schedule = build_optimizer(params, cfg, args)
     opt_state = tx.init(params)
@@ -407,10 +531,10 @@ def train(
         key, k_chunk = jax.random.split(key)
         t_chunk = time.time()
         with jax.profiler.StepTraceAnnotation("train_chunk", step_num=done):
-            params, opt_state, losses = run_chunk(
+            params, opt_state, loss_names, loss_stack = run_chunk(
                 params, opt_state, consts, data, k_chunk, n_steps
             )
-        losses = jax.tree_util.tree_map(np.asarray, losses)  # blocks
+        losses = dict(zip(loss_names, np.asarray(loss_stack)))  # one fetch
         dt_chunk = time.time() - t_chunk
         done += n_steps
         if adaptive and len(chunk_timings) < 3 and n_steps == max_chunk:
@@ -457,7 +581,11 @@ def train(
         jax.lax.stop_gradient(params["axisangle"]), trans_first=True
     )
     dataset.transformation = transformation
+    _t0 = _time.time()
     mask = dataset.mask
+    jax.block_until_ready(mask.image)
+    logging.debug("train teardown: occupancy mask %.1f s", _time.time() - _t0)
+    LAST_RUN_STATS["mask_s"] = _time.time() - _t0
     output_slices = []
     for i in range(len(slices)):
         s = slices[i].clone()

@@ -66,9 +66,9 @@ def make_dp_train_step(
     )
 
     def step(params, opt_state, consts, data, key):
-        params, opt_state, losses = run_chunk(
+        params, opt_state, names, stack = run_chunk(
             params, opt_state, consts, data, key, 1
         )
-        return params, opt_state, {k: v[-1] for k, v in losses.items()}
+        return params, opt_state, dict(zip(names, stack[:, -1]))
 
     return step

@@ -133,9 +133,9 @@ def main():
     run_chunk = T.make_train_step(cfg, bb, lw, tx, B, n_pixels)
 
     def full_step():
-        p, o, losses = run_chunk(params, opt_state, consts, data,
-                                 jax.random.PRNGKey(1), n_steps)
-        return losses[M.D_LOSS]
+        p, o, names, stack = run_chunk(params, opt_state, consts, data,
+                                       jax.random.PRNGKey(1), n_steps)
+        return stack[names.index(M.D_LOSS)]
 
     for name, fn in [
         ("batch draw", scan_over(f_batch)),

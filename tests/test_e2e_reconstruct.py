@@ -107,3 +107,31 @@ def test_reconstruct_cli(tmp_path):
         ]
     )
     assert os.path.exists(out_vol2)
+
+    # sample-slices: simulate the motion-corrected slices from the model
+    # (reference cli flow: README.md simulated-slices QA path)
+    slices_dir = os.path.join(folder, "slices")
+    sim_dir = os.path.join(folder, "sim_slices")
+    cli_main(
+        [
+            "register",
+            "--input-stacks", *paths,
+            "--registration", "none",
+            "--output-slices", slices_dir,
+            "--verbose", "0",
+        ]
+    )
+    n_slices = len(os.listdir(slices_dir))
+    assert n_slices > 0
+    # (inference batch/samples are hidden defaults for sample-slices, not
+    # flags — reference cli/main.py:399-416 parity)
+    cli_main(
+        [
+            "sample-slices",
+            "--input-model", out_model,
+            "--input-slices", slices_dir,
+            "--simulated-slices", sim_dir,
+            "--verbose", "0",
+        ]
+    )
+    assert len(os.listdir(sim_dir)) == n_slices
