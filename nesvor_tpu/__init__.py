@@ -15,20 +15,14 @@ and deterministic segment-sum scatter in place of CUDA atomics.
 
 import os
 
-import jax
-
+from ._precision import ensure_f32_matmul_semantics  # noqa: F401
 from .version import __version__
 
-# f32 must mean f32. This TPU stack runs XLA with
-# --xla_allow_excess_precision=true, under which an unannotated f32
-# dot/einsum/conv is lowered as a SINGLE bf16 MXU pass (~0.4% error).
-# That silently corrupts geometry (rigid-transform point matmuls: ~0.4-voxel
-# position error) and the Fourier encoder's phases (2.5 rad at the finest
-# octave — measured catastrophic PSNR loss). Making 3-pass ("highest") the
-# default restores f32 semantics for every dot that does not opt out;
-# the hot-path MLP/encoder matmuls cast to bf16 explicitly and are
-# unaffected (bf16 inputs are a single MXU pass at any precision setting).
-jax.config.update("jax_default_matmul_precision", "highest")
+# f32 must mean f32 on this stack — but mutating global JAX config on import
+# would leak into any application that merely imports the package, so the
+# setting is applied from the entry points (CLI main / train / sample /
+# svort_predict) via ensure_f32_matmul_semantics(); see _precision.py for
+# the measured rationale.
 
 # Pretrained SVoRT checkpoint registry (reference: nesvor/__init__.py:1-9).
 # The reference downloads torch state dicts from Zenodo; this build converts

@@ -380,6 +380,9 @@ def build_main_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from .._precision import ensure_f32_matmul_semantics
+
+    ensure_f32_matmul_semantics()
     parser = build_main_parser()
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) == 0:

@@ -35,11 +35,11 @@ def _eval_chunk(params, cfg, bounding_box, xyz, psf_sigma, n_samples, key, mats)
         density, _, _ = inr_forward(params, cfg, bounding_box, pts)
         return density.mean(-1)
 
-    group = n_samples
-    while group * xyz.shape[0] > 2**21:
-        if group % 2:
-            break
-        group //= 2
+    # bound peak activation memory at ~2^21 points per group regardless of
+    # n_samples' factorization (ceil division; the last group's extra
+    # samples are valid MC draws, so averaging over n_groups*group is fine)
+    cap = max(1, 2**21 // max(xyz.shape[0], 1))
+    group = min(n_samples, cap)
     n_groups = -(-n_samples // group)
 
     def body(acc, k):

@@ -391,16 +391,8 @@ def make_train_step(
             check_vma=False,
         )
 
-    @partial(jax.jit, static_argnames=("n_steps",))
-    def run_chunk_jit(params, opt_state, consts, data, key, n_steps: int):
-        keys = jax.random.split(key, n_steps)
-        params, opt_state, losses = scan_chunk(params, opt_state, consts, data, keys)
-        # stack the loss dict into ONE array: the host then fetches it once
-        # per chunk (each separate device->host fetch costs a ~26 ms tunnel
-        # RTT; the dict form cost 6 RTTs per chunk)
-        return params, opt_state, jnp.stack([losses[k] for k in sorted(losses)])
-
-    # loss keys are cfg-static (mirror nesvor_loss's emission logic)
+    # loss keys are cfg-static (mirror nesvor_loss's emission logic); the
+    # trace-time assert below fails loudly if nesvor_loss ever diverges
     names = [D_LOSS, I_REG]
     if not (cfg.no_pixel_variance and cfg.no_slice_variance):
         names += [S_LOSS, DS_LOSS]
@@ -409,6 +401,19 @@ def make_train_step(
     if cfg.n_levels_bias:
         names += [B_REG]
     names = sorted(names)
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def run_chunk_jit(params, opt_state, consts, data, key, n_steps: int):
+        keys = jax.random.split(key, n_steps)
+        params, opt_state, losses = scan_chunk(params, opt_state, consts, data, keys)
+        assert sorted(losses) == names, (
+            f"nesvor_loss emitted {sorted(losses)} but make_train_step "
+            f"predicted {names}"
+        )
+        # stack the loss dict into ONE array: the host then fetches it once
+        # per chunk (each separate device->host fetch costs a ~26 ms tunnel
+        # RTT; the dict form cost 6 RTTs per chunk)
+        return params, opt_state, jnp.stack([losses[k] for k in names])
 
     def run_chunk(params, opt_state, consts, data, key, n_steps: int):
         params, opt_state, stack = run_chunk_jit(
@@ -426,6 +431,10 @@ def train(
     INR, slices with optimized poses, and the occupancy mask volume."""
     import time as _time
 
+    from .._precision import ensure_f32_matmul_semantics
+
+    ensure_f32_matmul_semantics()
+    LAST_RUN_STATS.clear()  # per-run telemetry; stale values skew bench.py
     _t0 = _time.time()
     dataset = Dataset(slices, args)
     bounding_box = dataset.bounding_box

@@ -245,11 +245,19 @@ def _table_grad_sorted(
     d_rows_sorted = jnp.concatenate(parts, axis=1)  # (M, 8F)
 
     if jax.default_backend() == "tpu" and 8 * F == 16:
+        import os
+
         from .window_reduce import window_reduce_sorted
 
-        # bf16 contributions / f32 accumulation: strictly tighter than the
-        # reference path (tiny-cuda-nn accumulates grid grads in fp16 atomics)
-        return window_reduce_sorted(sk, d_rows_sorted, spec.total_rows, mxu_bf16=True)
+        # bf16 contributions / f32 accumulation: the accumulator is tighter
+        # than tiny-cuda-nn's fp16 atomics but each contribution is coarser
+        # (bf16 has 8 mantissa bits vs fp16's 11) — net precision comparable,
+        # not strictly better. NESVOR_TPU_GRID_GRAD_F32=1 forces full-f32
+        # contributions for quality debugging.
+        f32 = os.environ.get("NESVOR_TPU_GRID_GRAD_F32", "") == "1"
+        return window_reduce_sorted(
+            sk, d_rows_sorted, spec.total_rows, mxu_bf16=not f32
+        )
     out = jnp.zeros((spec.total_rows, 8 * F), d_rows_sorted.dtype)
     return out.at[sk].add(
         d_rows_sorted, indices_are_sorted=True, unique_indices=False

@@ -42,8 +42,8 @@ def _interpret() -> bool:
 
 
 def _dot(a, b, prec_out):
-    # explicit DEFAULT: the package sets jax_default_matmul_precision=highest
-    # for f32 semantics, but a bf16 Mosaic matmul with fp32 contract
+    # explicit DEFAULT: entry points set jax_default_matmul_precision=highest
+    # for f32 semantics (_precision.py), but a bf16 Mosaic matmul with fp32 contract
     # precision crashes this toolchain's compile helper (and bf16 needs no
     # multi-pass anyway)
     return jax.lax.dot_general(

@@ -517,6 +517,9 @@ def svort_predict(
     force_vvr: bool,
 ) -> List[Slice]:
     """Entry point (reference inference.py:565-593)."""
+    from .._precision import ensure_f32_matmul_semantics
+
+    ensure_f32_matmul_semantics()
     model = None
     model_params = None
     if svort:

@@ -21,3 +21,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# apply the package's f32-matmul-semantics setting (entry-point-scoped in
+# the package itself; tests exercise internals directly)
+from nesvor_tpu._precision import ensure_f32_matmul_semantics  # noqa: E402
+
+ensure_f32_matmul_semantics()
