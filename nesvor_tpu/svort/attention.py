@@ -206,7 +206,12 @@ def ffn(params: Params, name: str, x, activation: str, prenorm: bool):
     residual = x
     if prenorm:
         x = layer_norm(params, f"{name}.layer_norm", x)
-    act = {"relu": jax.nn.relu, "gelu": jax.nn.gelu}[activation]
+    # torch F.gelu (reference pos_ffn activation) is the exact erf gelu;
+    # jax.nn.gelu defaults to the tanh approximation (parity-tested)
+    act = {
+        "relu": jax.nn.relu,
+        "gelu": lambda h: jax.nn.gelu(h, approximate=False),
+    }[activation]
     x = linear(params, f"{name}.w_2", act(linear(params, f"{name}.w_1", x)))
     x = x + residual
     if not prenorm:
