@@ -33,6 +33,13 @@ def main():
 
     logging.basicConfig(level=logging.DEBUG, stream=sys.stderr)
 
+    # enable f32 matmul semantics AND the persistent compilation cache
+    # before the phantom-simulation programs compile (train() would enable
+    # them too, but only after simulation already paid its compiles)
+    from nesvor_tpu._precision import ensure_f32_matmul_semantics
+
+    ensure_f32_matmul_semantics()
+
     from tests.synth import make_phantom_stacks, stacks_to_slices, psnr
     from nesvor_tpu.nesvor.train import train
     from nesvor_tpu.nesvor.sample import sample_volume

@@ -57,112 +57,115 @@ def build_parser_training() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--n-features-per-level", default=2, type=int,
-        help="Length of the feature vector at each level.",
+        help="Feature-vector width stored per grid level.",
     )
     parser.add_argument(
         "--log2-hashmap-size", default=19, type=int,
-        help="Max log2 size of the hash grid per level.",
+        help="log2 of the per-level hash-table row budget.",
     )
     parser.add_argument(
         "--level-scale", default=1.3819, type=float,
-        help="Scaling factor between two levels.",
+        help="Geometric growth of grid resolution from one level to the next.",
     )
     parser.add_argument(
         "--coarsest-resolution", default=16.0, type=float,
-        help="Resolution of the coarsest grid in millimeter.",
+        help="Grid spacing (mm) of the coarsest encoding level.",
     )
     parser.add_argument(
         "--finest-resolution", default=0.5, type=float,
-        help="Resolution of the finest grid in millimeter.",
+        help="Grid spacing (mm) of the finest encoding level.",
     )
     parser.add_argument(
         "--n-levels-bias", default=0, type=int,
-        help="Number of levels used for bias field estimation.",
+        help="How many low-frequency encoding levels feed the bias-field "
+        "head (0 disables bias-field estimation).",
     )
     parser.add_argument(
-        "--depth", default=1, type=int, help="Number of hidden layers in MLPs."
+        "--depth", default=1, type=int,
+        help="Hidden-layer count of the MLPs.",
     )
     parser.add_argument(
         "--width", default=64, type=int,
-        help="Number of neuron in each hidden layer.",
+        help="Hidden-layer width of the MLPs.",
     )
     parser.add_argument(
         "--n-features-z", default=15, type=int,
-        help="Length of the intermediate feature vector z.",
+        help="Width of the intermediate feature vector z passed to the heads.",
     )
     parser.add_argument(
         "--n-features-slice", default=16, type=int,
-        help="Length of the slice embedding vector e.",
+        help="Width of the per-slice learned embedding e.",
     )
     parser.add_argument(
         "--no-transformation-optimization", action="store_true",
-        help="Disable optimization for rigid slice transformation, i.e., the "
-        "slice transformations are fixed",
+        help="Keep the rigid slice poses fixed at their input values instead "
+        "of optimizing them jointly with the INR.",
     )
     parser.add_argument(
         "--no-slice-scale", action="store_true",
-        help="Disable adaptive scaling for slices.",
+        help="Do not learn a per-slice intensity scale.",
     )
     parser.add_argument(
         "--no-pixel-variance", action="store_true",
-        help="Disable pixel-level variance.",
+        help="Drop the per-pixel noise-variance head.",
     )
     parser.add_argument(
         "--no-slice-variance", action="store_true",
-        help="Disable slice-level variance.",
+        help="Drop the per-slice noise-variance term.",
     )
     parser.add_argument(
         "--single-precision", action="store_true",
-        help="use float32 (default: bfloat16 mixed precision)",
+        help="Run all compute in float32 (default: bfloat16 mixed precision).",
     )
     parser = _parser.add_argument_group("loss function")
     parser.add_argument(
         "--weight-transformation", default=0.1, type=float,
-        help="Weight of transformation regularization.",
+        help="Strength of the pose-deviation regularizer.",
     )
     parser.add_argument(
         "--weight-bias", default=100.0, type=float,
-        help="Weight of bias field regularization.",
+        help="Strength of the bias-field regularizer.",
     )
     parser.add_argument(
         "--image-regularization", default="edge", type=str,
         choices=["TV", "edge", "L2"],
-        help="Type of image regularization (TV: total variation, edge: "
-        "edge-preserving, L2: L2 regularization of image gradient).",
+        help="Smoothness prior on the reconstructed image: total variation "
+        "('TV'), edge-preserving Charbonnier ('edge'), or plain L2 on the "
+        "image gradient ('L2').",
     )
     parser.add_argument(
         "--weight-image", default=2.0, type=float,
-        help="Weight of image regularization.",
+        help="Strength of the image smoothness prior.",
     )
     parser.add_argument(
         "--delta", type=float, default=0.2,
-        help="Parameter to define intensity of an edge in edge-preserving "
-        "regularization.",
+        help="Edge scale of the edge-preserving prior, as a fraction of the "
+        "mean image intensity.",
     )
     parser = _parser.add_argument_group("training")
     parser.add_argument(
         "--learning-rate", default=5e-3, type=float,
-        help="Learning rate of AdamW optimizer.",
+        help="AdamW peak learning rate.",
     )
     parser.add_argument(
         "--gamma", default=0.33, type=float,
-        help="Multiplicative factor of learning rate decay.",
+        help="LR decay factor applied at each milestone.",
     )
     parser.add_argument(
         "--milestones", nargs="+", type=float, default=[0.5, 0.75, 0.9],
-        help="List of milestones of learning rate decay. Must be in (0, 1) "
-        "and increasing.",
+        help="LR decay points as increasing fractions of --n-iter in (0, 1).",
     )
     parser.add_argument(
         "--n-iter", default=6000, type=int,
-        help="Number of iterations for training.",
+        help="Training iterations.",
     )
     parser.add_argument(
-        "--batch-size", default=1024 * 4, type=int, help="Batch size for training."
+        "--batch-size", default=1024 * 4, type=int,
+        help="Pixels sampled per training step.",
     )
     parser.add_argument(
         "--n-samples", default=128 * 2, type=int,
-        help="Number of sample for PSF during training.",
+        help="Monte-Carlo PSF samples per pixel during training.",
     )
     parser.add_argument(
         "--dp-devices", default=0, type=int,
@@ -182,26 +185,26 @@ def build_parser_inputs(
         parser.add_argument(
             "--input-stacks", nargs="+", type=str,
             required=input_stacks == "required",
-            help="Paths to the input stacks (NIfTI).",
+            help="Input stack NIfTI files, one per acquisition.",
         )
         parser.add_argument(
             "--thicknesses", nargs="+", type=float,
-            help="Slice thickness of each input stack. Use the slice gap in "
-            "the input stack if not provided.",
+            help="Per-stack slice thickness (mm); defaults to each stack's "
+            "slice gap when omitted.",
         )
         parser.add_argument(
             "--stack-masks", nargs="+", type=str,
-            help="Paths to masks of input stacks.",
+            help="Per-stack ROI mask NIfTI files.",
         )
     if input_slices:
         parser.add_argument(
             "--input-slices", type=str, required=input_slices == "required",
-            help="Folder of the input slices.",
+            help="Folder holding motion-corrected slices (one NIfTI each).",
         )
     if input_model:
         parser.add_argument(
             "--input-model", type=str, required=input_model == "required",
-            help="Path to the trained NeSVoR model.",
+            help="Trained NeSVoR model checkpoint to load.",
         )
     return _parser
 
@@ -218,41 +221,43 @@ def build_parser_outputs(
     if output_volume:
         parser.add_argument(
             "--output-volume", type=str, required=output_volume == "required",
-            help="Paths to the reconstructed volume",
+            help="Where to write the reconstructed volume (NIfTI).",
         )
         parser.add_argument(
             "--output-resolution", default=0.8, type=float,
-            help="Isotropic resolution of the reconstructed volume",
+            help="Isotropic voxel size (mm) of the output volume.",
         )
         parser.add_argument(
             "--output-intensity-mean", default=700.0, type=float,
-            help="mean intensity of the output volume",
+            help="Rescale the output so its mean intensity matches this.",
         )
         parser.add_argument(
-            "--inference-batch-size", type=int, help="batch size for inference"
+            "--inference-batch-size", type=int,
+            help="Voxels evaluated per device dispatch at inference.",
         )
         parser.add_argument(
             "--n-inference-samples", type=int,
-            help="number of sample for PSF during inference",
+            help="Monte-Carlo PSF samples per voxel at inference.",
         )
         parser.add_argument(
             "--no-output-psf", action="store_true",
-            help="Disable psf for generating output volume",
+            help="Sample the INR directly, without the output-resolution PSF.",
         )
     if output_slices:
         parser.add_argument(
             "--output-slices", required=output_slices == "required", type=str,
-            help="Folder to save the motion corrected slices",
+            help="Folder for the motion-corrected slices.",
         )
     if simulate_slices:
         parser.add_argument(
             "--simulated-slices", required=simulate_slices == "required", type=str,
-            help="Folder to save the simulated slices from the reconstructed volume",
+            help="Folder for slices re-simulated from the reconstruction "
+            "(for QA against the inputs).",
         )
     if output_model:
         parser.add_argument(
             "--output-model", type=str, required=output_model == "required",
-            help="Path to save the output model (.pt)",
+            help="Where to save the trained model checkpoint (.pt).",
         )
     parser.add_argument("--mask-threshold", type=float, default=1.0)
     update_defaults(_parser, **kwargs)
@@ -265,14 +270,14 @@ def build_parser_svort() -> argparse.ArgumentParser:
     parser.add_argument(
         "--registration", default="svort", type=str,
         choices=["svort", "svort-stack", "stack", "none"],
-        help="The type of registration method applied before reconstruction. "
-        "svort: the full SVoRT model, svort-stack: only apply stack "
-        "transformations of SVoRT, stack: stack-to-stack rigid registration, "
-        "none: no registration.",
+        help="Motion-correction mode run before reconstruction: 'svort' = "
+        "full per-slice SVoRT poses, 'svort-stack' = keep only SVoRT's "
+        "stack-level alignment, 'stack' = classical stack-to-stack rigid "
+        "registration, 'none' = trust the input poses.",
     )
     parser.add_argument(
         "--svort-version", default="v1", type=str, choices=["v1", "v2"],
-        help="version of SVoRT",
+        help="Which pretrained SVoRT model to use.",
     )
     return _parser
 
@@ -282,10 +287,12 @@ def build_parser_common() -> argparse.ArgumentParser:
     parser = _parser.add_argument_group("common")
     parser.add_argument(
         "--verbose", type=int, default=1, choices=[0, 1, 2],
-        help="level of verbosity: (0: warning/error, 1: info, 2: debug)",
+        help="Log level: 0 = warnings only, 1 = info, 2 = debug.",
     )
-    parser.add_argument("--output-log", type=str, help="Path to the output log file")
-    parser.add_argument("--seed", type=int, default=None, help="Random seed")
+    parser.add_argument(
+        "--output-log", type=str, help="Also write the log to this file."
+    )
+    parser.add_argument("--seed", type=int, default=None, help="RNG seed.")
     parser.add_argument("--debug", action="store_true", help="Debug mode.")
     return _parser
 
@@ -304,8 +311,8 @@ def build_main_parser() -> argparse.ArgumentParser:
     parser_svort = build_parser_svort()
     parser_reconstruct = subparsers.add_parser(
         "reconstruct",
-        help="slice-to-volume reconstruction using NeSVoR",
-        description="slice-to-volume reconstruction using NeSVoR",
+        help="reconstruct a volume from motion-corrupted stacks (NeSVoR)",
+        description="reconstruct a volume from motion-corrupted stacks (NeSVoR)",
         parents=[
             build_parser_inputs(input_stacks=True, input_slices=True),
             build_parser_outputs(
@@ -326,8 +333,8 @@ def build_main_parser() -> argparse.ArgumentParser:
     )
     parser_sample_volume = subparsers.add_parser(
         "sample-volume",
-        help="sample a volume from a trained NeSVoR model",
-        description="sample a volume from a trained NeSVoR model",
+        help="render a volume from a trained NeSVoR model",
+        description="render a volume from a trained NeSVoR model",
         parents=[
             build_parser_inputs(input_model="required"),
             build_parser_outputs(
@@ -345,8 +352,8 @@ def build_main_parser() -> argparse.ArgumentParser:
     )
     parser_sample_slices = subparsers.add_parser(
         "sample-slices",
-        help="sample slices from a trained NeSVoR model",
-        description="sample slices from a trained NeSVoR model",
+        help="re-simulate input slices from a trained NeSVoR model",
+        description="re-simulate input slices from a trained NeSVoR model",
         parents=[
             build_parser_inputs(input_slices="required", input_model="required"),
             build_parser_outputs(
@@ -364,8 +371,8 @@ def build_main_parser() -> argparse.ArgumentParser:
     )
     parser_register = subparsers.add_parser(
         "register",
-        help="slice-to-volume registration using SVoRT",
-        description="slice-to-volume registration using SVoRT",
+        help="motion-correct slices with SVoRT / rigid registration",
+        description="motion-correct slices with SVoRT / rigid registration",
         parents=[
             build_parser_inputs(input_stacks="required"),
             build_parser_outputs(output_slices="required"),
@@ -380,9 +387,17 @@ def build_main_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    import os
+
     from .._precision import ensure_f32_matmul_semantics
 
     ensure_f32_matmul_semantics()
+    if os.environ.get("NESVOR_TPU_COORDINATOR"):
+        # multi-host launch: one CLI process per host (see parallel/dp.py);
+        # run with --dp-devices = global device count
+        from ..parallel.dp import init_multihost
+
+        init_multihost()
     parser = build_main_parser()
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) == 0:
