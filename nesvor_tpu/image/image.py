@@ -95,8 +95,15 @@ class Image:
 
     @property
     def xyz_masked_untransformed(self) -> jnp.ndarray:
-        kji = jnp.flip(jnp.stack(jnp.nonzero(self.mask), -1), (-1,))
-        return (kji - (self.shape_xyz - 1) / 2) * self.resolution_xyz
+        # host-side nonzero: the device op has a data-dependent output
+        # shape, so it both forces a host sync AND compiles a fresh program
+        # per distinct mask count (measured 58.6 s for one 2M-voxel mask
+        # through the remote-TPU tunnel); numpy does this in milliseconds
+        mask_np = np.asarray(self.mask)
+        kji = np.stack(np.nonzero(mask_np), -1)[:, ::-1].astype(np.float32)
+        shape_xyz = np.asarray(self.image.shape[::-1], dtype=np.float32)
+        res = np.asarray(self.resolution_xyz)
+        return jnp.asarray((kji - (shape_xyz - 1) / 2) * res)
 
     @property
     def v_masked(self) -> jnp.ndarray:
@@ -215,12 +222,15 @@ class Volume(Image):
             )
         )  # one fetch
         xyz_min = bounds[0]
-        # bucket the output shape to multiples of 8: the sampled extent is
+        # bucket the output shape to multiples of 32: the sampled extent is
         # data-dependent, and an exact shape would force a fresh compile of
         # the grid+sample program on every call (~60 s through the remote
-        # compile service); the extra border voxels fall outside the mask
+        # compile service); the extra border voxels fall outside the mask.
+        # 32 (not 8) keeps the shape stable when optimized poses drift the
+        # bounds slightly between runs (measured: an 8-bucket boundary
+        # crossing cost a 60 s recompile in sample_volume)
         shape_xyz = (
-            np.ceil(np.ceil((bounds[1] - bounds[0]) / np.asarray(res_new)) / 8) * 8
+            np.ceil(np.ceil((bounds[1] - bounds[0]) / np.asarray(res_new)) / 32) * 32
         ).astype(int)
 
         v, mat = _resample_eval_jit(

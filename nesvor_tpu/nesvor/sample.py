@@ -65,7 +65,10 @@ def _eval_points(
     """Evaluate points in fixed-size padded chunks (one compiled shape).
     ``mats`` is None or (N, 3, 4) per-point matrices."""
     n = xyz.shape[0]
-    out = np.empty(n, dtype=np.float32)
+    # dispatch every chunk first, fetch after: JAX dispatch is async, so the
+    # device pipelines chunk i+1 while the host would otherwise be blocked
+    # fetching chunk i (each fetch costs a tunnel RTT on the remote path)
+    pending = []
     for i in range(0, n, batch_size):
         chunk = xyz[i : i + batch_size]
         pad = batch_size - chunk.shape[0]
@@ -79,11 +82,16 @@ def _eval_points(
                     [m, jnp.broadcast_to(jnp.eye(3, 4, dtype=m.dtype), (pad, 3, 4))], 0
                 )
         key, k = jax.random.split(key)
-        v = _eval_chunk(
-            model.params, model.cfg, model.bounding_box, chunk, psf_sigma,
-            n_samples, k, m,
+        pending.append(
+            _eval_chunk(
+                model.params, model.cfg, model.bounding_box, chunk, psf_sigma,
+                n_samples, k, m,
+            )
         )
-        out[i : i + batch_size] = np.asarray(v)[: batch_size - pad]
+    out = np.empty(n, dtype=np.float32)
+    for j, i in enumerate(range(0, n, batch_size)):
+        hi = min(i + batch_size, n)
+        out[i:hi] = np.asarray(pending[j])[: hi - i]
     return out
 
 
@@ -116,12 +124,14 @@ def sample_volume(model: INRModel, mask: Volume, args: Namespace) -> Volume:
     t1 = time.time()
     values = sample_points(model, xyz, args)
     t2 = time.time()
-    flat = img.image.reshape(-1)
-    midx = jnp.nonzero(img.mask.reshape(-1))[0]
-    img.image = flat.at[midx].set(values).reshape(img.image.shape)
+    # fill masked voxels host-side: values are already on host, and a device
+    # scatter keyed on jnp.nonzero would compile per distinct mask count
+    flat = np.zeros(img.image.size, dtype=np.float32)
+    flat[np.asarray(img.mask).reshape(-1)] = np.asarray(values)
+    img.image = jnp.asarray(flat.reshape(img.image.shape))
     logging.debug(
-        "sample_volume: resample %.1f s, xyz_masked %.1f s, %d voxels eval %.1f s",
-        t05 - t0, t1 - t05, int(xyz.shape[0]), t2 - t1,
+        "sample_volume: resample %.1f s, xyz_masked %.1f s, %d voxels eval %.1f s, fill %.1f s",
+        t05 - t0, t1 - t05, int(xyz.shape[0]), t2 - t1, time.time() - t2,
     )
     return img
 

@@ -48,6 +48,9 @@ from .models import (
 # the adaptive-chunk measurement, wall clock, chunk size) — consumed by
 # bench.py to report compile-vs-steady split
 LAST_RUN_STATS: Dict[str, float] = {}
+# full final param pytree of the most recent train() call (debug aid for
+# inspecting the variance/scale/pose heads post-hoc; not part of the API)
+LAST_PARAMS: Dict = {}
 
 
 @dataclass
@@ -232,10 +235,11 @@ class Dataset:
         )
         xyz_min = bounds[0] - resolution_max * 10
         xyz_max = bounds[1] + resolution_max * 10
-        # bucket to multiples of 8: data-dependent shapes would recompile the
-        # occupancy program on every run
+        # bucket to multiples of 32: data-dependent shapes would recompile
+        # the occupancy program on every run (32 keeps shapes stable under
+        # small pose-drift changes of the bounds; see Volume.resample)
         shape_xyz = (
-            np.ceil(np.ceil((xyz_max - xyz_min) / resolution_min) / 8) * 8
+            np.ceil(np.ceil((xyz_max - xyz_min) / resolution_min) / 32) * 32
         ).astype(int)
         shape = (int(shape_xyz[2]), int(shape_xyz[1]), int(shape_xyz[0]))
 
@@ -604,4 +608,6 @@ def train(
     inr_model = INRModel(
         params=params["inr"], cfg=inr_cfg, bounding_box=bounding_box
     )
+    LAST_PARAMS.clear()
+    LAST_PARAMS.update(params)
     return inr_model, output_slices, mask

@@ -10,11 +10,14 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nesvor_tpu.cli.main import main as cli_main
 from nesvor_tpu.image import load_volume, save_nii_volume
 from nesvor_tpu.image.image_utils import transformation2affine
 from tests.synth import make_phantom_stacks, psnr
+
+pytestmark = pytest.mark.slow
 
 
 def _save_stacks(stacks, folder):

@@ -7,6 +7,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nesvor_tpu.cli.main import main as cli_main
 from nesvor_tpu.image import load_slices
@@ -14,6 +15,8 @@ from nesvor_tpu.transform import RigidTransform
 
 from tests.synth import make_phantom_stacks
 from tests.test_e2e_reconstruct import _save_stacks
+
+pytestmark = pytest.mark.slow
 
 
 def _rel_pose_err(t_a: RigidTransform, t_b: RigidTransform):

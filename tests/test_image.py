@@ -6,6 +6,7 @@ import shutil
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nesvor_tpu.image import Slice, Volume, load_slices, load_volume, save_slices
 from nesvor_tpu.transform import RigidTransform
@@ -58,6 +59,7 @@ def test_save_load_slices(tmp_path):
     shutil.rmtree(folder)
 
 
+@pytest.mark.slow
 def test_save_load_volume(tmp_path):
     folder = str(tmp_path / "vols")
     os.makedirs(folder)

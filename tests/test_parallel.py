@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     assert len(jax.devices()) >= 8
     import __graft_entry__ as ge
@@ -77,6 +78,7 @@ def test_multihost_two_process_cpu(tmp_path):
     assert lines[0][-1] == lines[1][-1]
 
 
+@pytest.mark.slow
 def test_train_dp_devices():
     """train() with --dp-devices exercises the integrated shard_map path end
     to end (sharded pixel bag, pmean gradients, replicated optimizer)."""

@@ -10,6 +10,7 @@ finite-difference checks the reference never had (SURVEY.md §4).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nesvor_tpu.ops.slice_acq import slice_acquisition, slice_acquisition_adjoint
 from nesvor_tpu.svort.srr import SRR
@@ -75,6 +76,7 @@ def get_cg_recon_test_data():
     return jnp.concatenate(stacks, 0), RigidTransform.cat(transforms), volume, params
 
 
+@pytest.mark.slow
 def test_cg_recon():
     slices, transforms, volume, params = get_cg_recon_test_data()
     srr = SRR(n_iter=20, use_CG=True, tol=1e-8)
@@ -83,6 +85,7 @@ def test_cg_recon():
     assert_close(volume_, volume, atol=3e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_cg_recon_residual_reduction():
     """Stronger than the reference test (which seeds CG with the ground truth
     so the solver exits immediately): starting from the PSF-reconstruction
@@ -197,6 +200,7 @@ def test_adjoint_grad_slices_finite_diff():
         assert_close(an, fd, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_forward_adjoint_consistency():
     """The equalized adjoint of the simulated slices is a PSF-weighted
     average of the phantom: it cannot reproduce sharp values, but it must be

@@ -10,6 +10,8 @@ import pytest
 from nesvor_tpu.image import Stack
 from tests.synth import make_phantom_stacks
 
+pytestmark = pytest.mark.slow
+
 
 def test_svort_v1_forward_tiny():
     from nesvor_tpu.svort.models import SVoRT, run_model

@@ -132,6 +132,7 @@ def test_resnet_parity(n_res, d_in):
     assert_close(out_j, out_t, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_svrtransformer_parity():
     """Full v1-style SVR block (reference models.py:269-363), volume=None."""
     from nesvor_tpu.svort.models import SVRtransformer
@@ -160,6 +161,7 @@ def test_svrtransformer_parity():
     assert_close(out_j, out_t, atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_svrtransformer_v2_parity():
     """v2 SVR block with score head, gelu encoder (reference models.py:366-457)."""
     from nesvor_tpu.svort.models import SVRtransformerV2

@@ -8,6 +8,7 @@ gradient finite-difference checks the reference never had (SURVEY.md §4:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nesvor_tpu.transform import (
     axisangle2mat,
@@ -44,6 +45,7 @@ def test_mat2euler_euler2mat():
         assert_close(mat_, mat, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_axisangle2mat_grad_finite_diff():
     """Finite-difference check of d(mat)/d(ax), incl. near-zero rotation."""
     rng = np.random.default_rng(0)
@@ -65,6 +67,7 @@ def test_axisangle2mat_grad_finite_diff():
             assert bool(jnp.all(jnp.isfinite(jac)))
 
 
+@pytest.mark.slow
 def test_mat2axisangle_grad_finite():
     """Gradients through mat2axisangle must be finite (incl. identity)."""
     for ax, mat in get_transform_test_data():

@@ -4,12 +4,15 @@ time; same recovery tolerance)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nesvor_tpu.svort.registration import VVR
 from nesvor_tpu.transform import RigidTransform
 from nesvor_tpu.utils import ncc_loss
 from tests.helpers import assert_close
 from tests.phantom3d import phantom3d
+
+pytestmark = pytest.mark.slow
 
 
 def test_vvr():
