@@ -38,6 +38,10 @@ def main():
     if not opts.tpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from nesvor_tpu._precision import ensure_f32_matmul_semantics
+
+    ensure_f32_matmul_semantics()  # also enables the compile cache
+
     import numpy as np
     import jax.numpy as jnp
     from argparse import Namespace

@@ -26,6 +26,8 @@ def make_phantom_stacks(
     rng_seed: Optional[int] = None,
     motion_std: Tuple[float, float] = (0.0, 0.0),
     smooth_sigma: float = 0.6,
+    texture_amp: float = 0.0,
+    texture_sigma: float = 1.2,
 ) -> Tuple[List[Stack], jnp.ndarray]:
     """Simulate ``n_stacks`` stacks of a vs^3 phantom at distinct orientations.
 
@@ -35,12 +37,27 @@ def make_phantom_stacks(
     band-limits the piecewise-constant phantom so PSNR against it is a
     meaningful quality metric (the raw discrete phantom caps PSNR at ~12 dB
     for ANY method once the acquisition PSF is applied).
+
+    ``texture_amp`` > 0 multiplicatively modulates the phantom interior with
+    band-limited noise (unit-std Gaussian noise blurred by ``texture_sigma``
+    voxels): fine structure at the resolution limit, so encoder quality
+    comparisons are not confounded by the base phantom's smoothness.
     """
     volume = jnp.asarray(phantom3d(n=vs), dtype=jnp.float32) * intensity
     if smooth_sigma:
         from nesvor_tpu.utils import gaussian_blur
 
         volume = gaussian_blur(volume[None, None], smooth_sigma, 3.0)[0, 0]
+    if texture_amp:
+        from nesvor_tpu.utils import gaussian_blur
+
+        trng = np.random.default_rng(
+            rng_seed + 1 if rng_seed is not None else 1
+        )
+        tex = jnp.asarray(trng.normal(size=volume.shape), jnp.float32)
+        tex = gaussian_blur(tex[None, None], texture_sigma, 3.0)[0, 0]
+        tex = tex / jnp.maximum(jnp.std(tex), 1e-6)
+        volume = volume * (1.0 + texture_amp * tex * (volume > 0.05 * intensity))
     vol_in = volume[None, None]
     s_thick = gap
     n_slice = int((np.sqrt(3) * vs * res) / gap) + 4
