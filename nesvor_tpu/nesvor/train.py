@@ -206,9 +206,15 @@ class Dataset:
 
     def _bbox_mean(self):
         """One jitted dispatch for bbox + robust mean (the eager formulation
-        cost ~60 s of per-op dispatch latency through the remote tunnel)."""
+        cost ~60 s of per-op dispatch latency through the remote tunnel).
+
+        The cache is keyed on the identity of the transformation's
+        *underlying arrays* (immutable jnp buffers), so both reassigning
+        ``self.transformation`` and swapping the arrays inside the same
+        RigidTransform object invalidate it."""
+        key = tuple(id(leaf) for leaf in jax.tree.leaves(self.transformation))
         cache = getattr(self, "_bbox_mean_cache", None)
-        if cache is None or cache[0] is not self.transformation:
+        if cache is None or cache[0] != key:
             bbox, mean = _bbox_mean_jit(
                 self.xyz,
                 self.v,
@@ -217,7 +223,7 @@ class Dataset:
                 self.resolution,
             )
             self._bbox_mean_cache = (
-                self.transformation,
+                key,
                 (jnp.asarray(np.asarray(bbox)), float(mean)),
             )
         return self._bbox_mean_cache[1]
@@ -285,8 +291,9 @@ def _decay_mask(params: Dict) -> Dict:
     )
 
 
-def _zero_grad_mask(params: Dict, cfg: NeSVoRConfig):
-    """Freeze axisangle when transformation optimization is disabled."""
+def _zero_grad_mask(params: Dict, cfg: NeSVoRConfig, var_warmup: int = 0):
+    """Freeze axisangle when transformation optimization is disabled; route
+    the variance/bias heads to their own group when a warmup is requested."""
 
     def label(path, leaf):
         names = [str(getattr(p, "key", "")) for p in path]
@@ -294,6 +301,10 @@ def _zero_grad_mask(params: Dict, cfg: NeSVoRConfig):
             return "frozen"
         if "fourier_basis" in names:  # fixed encoding basis
             return "frozen"
+        if var_warmup and names and names[0] in (
+            "sigma_net", "b_net", "log_var_slice"
+        ):
+            return "var"
         return "train"
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
@@ -304,22 +315,36 @@ def _zero_grad_mask(params: Dict, cfg: NeSVoRConfig):
 
 def build_optimizer(params: Dict, cfg: NeSVoRConfig, args: Namespace):
     """AdamW betas (0.9, 0.99), eps 1e-15, selective weight decay, multistep
-    LR decay with gamma at milestone fractions (reference train.py:135-159)."""
+    LR decay with gamma at milestone fractions (reference train.py:135-159).
+
+    ``args.var_warmup_iters`` (optional, default 0) holds the variance/bias
+    heads at zero LR for the first N iterations so the density net latches
+    onto the signal before the noise model starts reweighting pixels — the
+    decoupled-head collapse fix (PERF.md round-2 findings): a small head
+    adapts var fast enough early on to kill the density gradient."""
+    var_warmup = int(getattr(args, "var_warmup_iters", 0) or 0)
     boundaries = {
         int(m * args.n_iter): args.gamma for m in args.milestones
     }
     schedule = optax.piecewise_constant_schedule(args.learning_rate, boundaries)
-    adamw = optax.adamw(
-        learning_rate=schedule,
-        b1=0.9,
-        b2=0.99,
-        eps=1e-15,
-        weight_decay=1e-2,
-        mask=_decay_mask(params),
-    )
+
+    def make_adamw(lr):
+        return optax.adamw(
+            learning_rate=lr,
+            b1=0.9,
+            b2=0.99,
+            eps=1e-15,
+            weight_decay=1e-2,
+            mask=_decay_mask(params),
+        )
+
+    groups = {"train": make_adamw(schedule), "frozen": optax.set_to_zero()}
+    if var_warmup:
+        groups["var"] = make_adamw(
+            lambda count: jnp.where(count < var_warmup, 0.0, schedule(count))
+        )
     tx = optax.multi_transform(
-        {"train": adamw, "frozen": optax.set_to_zero()},
-        _zero_grad_mask(params, cfg),
+        groups, _zero_grad_mask(params, cfg, var_warmup)
     )
     return tx, schedule
 

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--vs", type=int, default=64)
     ap.add_argument("--stacks", type=int, default=8)
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--var-warmup", type=int, default=0)
+    ap.add_argument("--no-pixel-var", action="store_true")
+    ap.add_argument("--no-slice-var", action="store_true")
     opts = ap.parse_args()
     head_width, head_depth = (int(x) for x in opts.head.split(","))
 
@@ -63,7 +66,10 @@ def main():
         head_width=head_width, head_depth=head_depth,
         n_features_z=15, n_features_slice=16,
         no_transformation_optimization=False, no_slice_scale=False,
-        no_pixel_variance=False, no_slice_variance=False, single_precision=False,
+        no_pixel_variance=opts.no_pixel_var,
+        no_slice_variance=opts.no_slice_var,
+        single_precision=False,
+        var_warmup_iters=opts.var_warmup,
         weight_transformation=0.1, weight_bias=100.0,
         image_regularization="edge", weight_image=2.0, delta=0.2,
         learning_rate=5e-3, gamma=0.33, milestones=[0.5, 0.75, 0.9],

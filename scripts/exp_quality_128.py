@@ -32,20 +32,46 @@ def main():
     from argparse import Namespace
 
     from tests.synth import make_phantom_stacks, stacks_to_slices, psnr
+    from nesvor_tpu.image import Stack
     from nesvor_tpu.nesvor.train import train, LAST_RUN_STATS
     from nesvor_tpu.nesvor.sample import sample_points
     from nesvor_tpu.svort.inference import average_rotation
     from nesvor_tpu.transform import RigidTransform, transform_points
 
+    import os
     import time
 
     # 128^3 at 0.5 mm: 64 mm FOV, acquisitions at 0.5 mm in-plane / 1.5 mm
-    # gap, multiplicative fine texture at ~1.2-voxel scale
+    # gap, multiplicative fine texture at ~1.2-voxel scale. Simulation costs
+    # ~10 min through the remote tunnel, so cache the stacks on disk.
+    cache = "/tmp/q128_stacks.npz"
     t0 = time.time()
-    stacks, gt_volume = make_phantom_stacks(
-        vs=128, n_stacks=8, gap=1.5, res=0.5, res_s=0.5, intensity=700.0,
-        texture_amp=0.25, texture_sigma=1.2,
-    )
+    if os.path.exists(cache):
+        data = np.load(cache)
+        gt_volume = jnp.asarray(data["gt"])
+        stacks = [
+            Stack(
+                slices=jnp.asarray(data[f"s{i}"]),
+                mask=jnp.asarray(data[f"s{i}"]) > 0,
+                transformation=RigidTransform(
+                    jnp.asarray(data[f"ax{i}"]), trans_first=True
+                ),
+                resolution_x=0.5, resolution_y=0.5,
+                thickness=1.5, gap=1.5,
+            )
+            for i in range(int(data["n"]))
+        ]
+        print(f"loaded {len(stacks)} cached stacks in {time.time()-t0:.1f} s")
+    else:
+        stacks, gt_volume = make_phantom_stacks(
+            vs=128, n_stacks=8, gap=1.5, res=0.5, res_s=0.5, intensity=700.0,
+            texture_amp=0.25, texture_sigma=1.2,
+        )
+        payload = {"gt": np.asarray(gt_volume), "n": len(stacks)}
+        for i, st in enumerate(stacks):
+            payload[f"s{i}"] = np.asarray(st.slices)
+            payload[f"ax{i}"] = np.asarray(st.transformation.axisangle())
+        np.savez_compressed(cache, **payload)
     slices = stacks_to_slices(stacks)
     n_px = sum(int(np.asarray(s.mask).sum()) for s in slices)
     print(f"simulated {len(slices)} slices, {n_px} masked px "
