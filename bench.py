@@ -44,15 +44,21 @@ def main():
     from nesvor_tpu.nesvor.train import train
     from nesvor_tpu.nesvor.sample import sample_volume
 
-    # usage: bench.py [n_iter] [encoder] [head_width] [head_depth]
+    # usage: bench.py [n_iter] [encoder] [head_width] [head_depth] [warmup]
     # Default: the flagship TPU-native config — gather-free fourier encoder
-    # (~68 ms/step at bench scale) with a width-256 density MLP; the full
-    # 5000-iter north-star run fits the harness budget. Pass "cellhash" or
-    # "hash" to benchmark the grid encoders (reference parity semantics).
+    # with a width-256 density MLP and decoupled 64x1 sigma/bias heads
+    # (the reference's own head sizing), which need a short variance-head
+    # LR warmup to avoid the early noise-model collapse (PERF.md round-2
+    # findings: 38 vs 52 ms/step, equal PSNR at 600 iters with warmup 100).
+    # Pass "cellhash"/"hash" to benchmark the grid encoders (reference
+    # parity semantics); pass head 0 0 to size heads like the density net.
     n_iter = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     encoder = sys.argv[2] if len(sys.argv) > 2 else "fourier"
-    head_width = int(sys.argv[3]) if len(sys.argv) > 3 else 0
-    head_depth = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    head_width = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    head_depth = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    var_warmup = int(sys.argv[5]) if len(sys.argv) > 5 else (
+        100 if head_width else 0
+    )
 
     t_sim = time.time()
     stacks, gt_volume = make_phantom_stacks(
@@ -73,6 +79,7 @@ def main():
         # decoupled heads (64x1 = the reference's own head sizing when
         # --width/--depth are default)
         head_width=head_width, head_depth=head_depth,
+        var_warmup_iters=var_warmup,
         n_features_z=15, n_features_slice=16,
         no_transformation_optimization=False, no_slice_scale=False,
         no_pixel_variance=False, no_slice_variance=False, single_precision=False,

@@ -160,6 +160,15 @@ def build_parser_training() -> argparse.ArgumentParser:
         help="Training iterations.",
     )
     parser.add_argument(
+        "--var-warmup-iters", default=0, type=int,
+        help="Hold the variance/bias heads at zero LR for this many "
+        "iterations so the density net latches onto the signal before the "
+        "noise model starts down-weighting pixels. Recommended (~100) when "
+        "the heads are much smaller than the density net (--head-width), "
+        "whose slower-adapting variance otherwise suppresses early density "
+        "gradients. 0 = off (reference behavior).",
+    )
+    parser.add_argument(
         "--batch-size", default=1024 * 4, type=int,
         help="Pixels sampled per training step.",
     )
