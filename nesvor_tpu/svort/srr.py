@@ -1,13 +1,24 @@
-"""Classical super-resolution reconstruction: matrix-free CG + PSF adjoint.
+"""Classical super-resolution reconstruction (SRR) for the SVoRT pipeline.
 
-Rebuild of reference nesvor/svort/srr.py:12-160. The CG solver is a
-``lax.while_loop`` (jit-compiled end-to-end on TPU, instead of the
-reference's eager Python loop with device syncs); the A/At operators wrap
-the slice-acquisition projector.
+Solves the slice-acquisition inverse problem: given slices y = A x acquired
+from an unknown volume x through the PSF projector A, recover x. Two
+solvers, both compiled to a single XLA program (the reference,
+nesvor/svort/srr.py:12-160, runs an eager Python loop with a device sync
+per iteration):
+
+  * normal-equation CG: AtA x = At y via matrix-free ``lax.while_loop``
+    conjugate gradient, with optional per-slice confidence weights ``p``
+    (the SVoRT IQA scores) and a Tikhonov pull ``mu (x - z)``;
+  * preconditioned gradient descent with a 26-neighbor Charbonnier edge
+    prior (``charbonnier_grad``).
+
+The projector pair (A, At) is built once per system by ``make_system``;
+everything downstream is expressed against those closures.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Optional
 
 import jax
@@ -17,80 +28,124 @@ from ..ops.slice_acq import slice_acquisition, slice_acquisition_adjoint
 from ..transform import axisangle2mat
 
 
-def dot(x, y):
+def _vdot(x, y):
     return jnp.vdot(x.reshape(-1), y.reshape(-1))
 
 
 def CG(A, b, x0, n_iter, tol=0.0):
-    """Matrix-free conjugate gradient (reference srr.py:12-34).
+    """Matrix-free conjugate gradient on a traceable operator ``A``.
 
-    ``A`` must be traceable; the loop runs as ``lax.while_loop`` so the whole
-    solve compiles to one XLA program.
+    Whole solve is one ``lax.while_loop`` XLA program (reference
+    srr.py:12-34 is an eager loop). Deterministic TPU reductions expose a
+    case the reference's atomicAdd noise hid: a consistent system seeded at
+    the solution has residual exactly 0, so every division is guarded
+    against 0/0.
     """
     if x0 is None:
-        x = jnp.zeros_like(b)
-        r = b
+        x, r = jnp.zeros_like(b), b
     else:
-        x = x0
-        r = b - A(x0)
-    p = r
-    rr = dot(r, r)
+        x, r = x0, b - A(x0)
+    rr0 = _vdot(r, r)
 
-    def cond(state):
-        x, r, p, rr, i, done = state
-        return jnp.logical_and(i < n_iter, jnp.logical_not(done))
-
-    def body(state):
-        x, r, p, rr, i, done = state
+    def step(state):
+        x, r, p, rr, i, _ = state
         Ap = A(p)
-        pAp = dot(p, Ap)
-        # guard: with deterministic ops and a consistent system the residual
-        # can be exactly 0 (the reference's atomicAdd noise hid this), so
-        # 0/0 must not produce NaN.
-        safe = pAp != 0
-        alpha = jnp.where(safe, rr / jnp.where(safe, pAp, 1.0), 0.0)
+        pAp = _vdot(p, Ap)
+        ok = pAp != 0
+        alpha = jnp.where(ok, rr / jnp.where(ok, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        rr_new = dot(r, r)
-        done = jnp.logical_or(rr_new <= tol, jnp.logical_not(safe))
-        beta = jnp.where(rr != 0, rr_new / jnp.where(rr != 0, rr, 1.0), 0.0)
-        p = r + beta * p
-        return (x, r, p, rr_new, i + 1, done)
+        rr_next = _vdot(r, r)
+        beta = jnp.where(rr != 0, rr_next / jnp.where(rr != 0, rr, 1.0), 0.0)
+        stop = jnp.logical_or(rr_next <= tol, jnp.logical_not(ok))
+        return (x, r, r + beta * p, rr_next, i + 1, stop)
 
-    state = (x, r, p, rr, jnp.asarray(0), rr <= tol)
-    x, *_ = jax.lax.while_loop(cond, body, state)
-    return x
+    def keep_going(state):
+        *_, i, stop = state
+        return jnp.logical_and(i < n_iter, jnp.logical_not(stop))
+
+    init = (x, r, r, rr0, jnp.asarray(0), rr0 <= tol)
+    return jax.lax.while_loop(keep_going, step, init)[0]
+
+
+def make_system(transforms, params, vol_mask=None, slices_mask=None):
+    """Forward/adjoint closures (A, At) of the PSF acquisition model for a
+    fixed set of slice transforms (wraps ops/slice_acq; reference
+    srr.py:104-137 keeps these as methods)."""
+    res_ratio = params["res_s"] / params["res_r"]
+
+    def A(x):
+        return slice_acquisition(
+            transforms, x, vol_mask, slices_mask,
+            params["psf"], params["slice_shape"], res_ratio,
+            False, params["interp_psf"],
+        )
+
+    def At(y):
+        return slice_acquisition_adjoint(
+            transforms, params["psf"], y, slices_mask, vol_mask,
+            params["volume_shape"], res_ratio,
+            params["interp_psf"], False,
+        )
+
+    return A, At
 
 
 def PSFreconstruction(transforms, slices, slices_mask, vol_mask, params):
-    """Adjoint splat with equalize=True (reference srr.py:37-48)."""
+    """Weight-equalized adjoint splat — the pipeline's volume initializer
+    (reference srr.py:37-48)."""
     return slice_acquisition_adjoint(
-        transforms,
-        params["psf"],
-        slices,
-        slices_mask,
-        vol_mask,
-        params["volume_shape"],
-        params["res_s"] / params["res_r"],
-        params["interp_psf"],
-        True,
+        transforms, params["psf"], slices, slices_mask, vol_mask,
+        params["volume_shape"], params["res_s"] / params["res_r"],
+        params["interp_psf"], True,
     )
 
 
-class SRR:
-    """Iterative SRR solving AᵗA x = Aᵗ y, optional per-slice weights p,
-    Tikhonov-style mu·z term, or gradient-descent branch with edge-preserving
-    prior (reference srr.py:51-160)."""
+def charbonnier_grad(v, delta):
+    """Gradient of the 26-neighbor edge-preserving Charbonnier prior,
+    evaluated on the interior and zero on the one-voxel border (reference
+    dR, srr.py:139-160). ``v`` is (..., D, H, W)."""
+    D, H, W = v.shape[-3:]
+    core = v[..., 1 : D - 1, 1 : H - 1, 1 : W - 1]
+    offsets = [
+        (dz, dy, dx)
+        for dz in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if (dz, dy, dx) != (0, 0, 0)
+    ]
+    acc = jnp.zeros_like(core)
+    inv_d2 = 1.0 / (delta * delta)
+    for dz, dy, dx in offsets:
+        shifted = v[
+            ...,
+            1 + dz : D - 1 + dz,
+            1 + dy : H - 1 + dy,
+            1 + dx : W - 1 + dx,
+        ]
+        dv = core - shifted
+        scaled = dv * (inv_d2 / (dz * dz + dy * dy + dx * dx))
+        acc = acc + scaled * jax.lax.rsqrt(1 + dv * scaled)
+    out = jnp.zeros_like(v)
+    return out.at[..., 1 : D - 1, 1 : H - 1, 1 : W - 1].set(acc)
 
-    def __init__(
-        self, n_iter=10, use_CG=False, alpha=0.5, beta=0.02, delta=0.1, tol=0.0
-    ):
-        self.n_iter = n_iter
-        self.alpha = alpha
-        self.beta = beta * delta * delta
-        self.delta = delta
-        self.use_CG = use_CG
-        self.tol = tol
+
+@dataclass
+class SRR:
+    """Iterative SRR solver (reference srr.py:51-160).
+
+    ``use_CG=True`` solves the weighted normal equations with ``n_iter`` CG
+    steps; otherwise runs ``n_iter`` gradient-descent steps with the
+    Charbonnier edge prior (strength ``beta * delta**2``, step ``alpha``).
+    Output is clamped nonnegative.
+    """
+
+    n_iter: int = 10
+    use_CG: bool = False
+    alpha: float = 0.5
+    beta: float = 0.02
+    delta: float = 0.1
+    tol: float = 0.0
 
     def __call__(
         self,
@@ -104,90 +159,31 @@ class SRR:
         vol_mask=None,
         slices_mask=None,
     ):
-        if theta.ndim == 2:
-            transforms = axisangle2mat(theta)
-        else:
-            transforms = theta
-
-        A = lambda x: self.A(transforms, x, vol_mask, slices_mask, params)
-        At = lambda x: self.At(transforms, x, slices_mask, vol_mask, params)
-        AtA = lambda x: self.AtA(
-            transforms, x, vol_mask, slices_mask, p, params, mu, z
-        )
-
-        x = volume
-        y = slices
-
+        transforms = axisangle2mat(theta) if theta.ndim == 2 else theta
+        A, At = make_system(transforms, params, vol_mask, slices_mask)
         if self.use_CG:
-            b = At(y * p if p is not None else y)
-            if mu and z is not None:
-                b = b + mu * z
-            x = CG(AtA, b, volume, self.n_iter, self.tol)
+            x = self._solve_cg(A, At, slices, volume, p, mu, z)
         else:
-            for _ in range(self.n_iter):
-                err = A(x) - y
-                if p is not None:
-                    err = p * err
-                g = At(err)
-                if self.beta:
-                    g = g + self.beta * self.dR(x, self.delta)
-                x = x - self.alpha * g
+            x = self._solve_gd(A, At, slices, volume, p)
         return jax.nn.relu(x)
 
-    def A(self, transforms, x, vol_mask, slices_mask, params):
-        return slice_acquisition(
-            transforms,
-            x,
-            vol_mask,
-            slices_mask,
-            params["psf"],
-            params["slice_shape"],
-            params["res_s"] / params["res_r"],
-            False,
-            params["interp_psf"],
-        )
+    def _solve_cg(self, A, At, y, x0, p, mu, z):
+        def AtA(x):
+            s = A(x)
+            v = At(s if p is None else p * s)
+            return v + mu * x if (mu and z is not None) else v
 
-    def At(self, transforms, x, slices_mask, vol_mask, params):
-        return slice_acquisition_adjoint(
-            transforms,
-            params["psf"],
-            x,
-            slices_mask,
-            vol_mask,
-            params["volume_shape"],
-            params["res_s"] / params["res_r"],
-            params["interp_psf"],
-            False,
-        )
-
-    def AtA(self, transforms, x, vol_mask, slices_mask, p, params, mu, z):
-        slices = self.A(transforms, x, vol_mask, slices_mask, params)
-        if p is not None:
-            slices = slices * p
-        vol = self.At(transforms, slices, slices_mask, vol_mask, params)
+        b = At(y if p is None else p * y)
         if mu and z is not None:
-            vol = vol + mu * x
-        return vol
+            b = b + mu * z
+        return CG(AtA, b, x0, self.n_iter, self.tol)
 
-    def dR(self, v, delta):
-        """26-neighbor Charbonnier edge prior (reference srr.py:139-160)."""
-        g = jnp.zeros_like(v)
-        D, H, W = v.shape[-3:]
-        inner = jnp.zeros_like(v[:, :, 1 : D - 1, 1 : H - 1, 1 : W - 1])
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    if dx == 0 and dy == 0 and dz == 0:
-                        continue
-                    v0 = v[:, :, 1 : D - 1, 1 : H - 1, 1 : W - 1]
-                    v1 = v[
-                        :,
-                        :,
-                        1 + dz : D - 1 + dz,
-                        1 + dy : H - 1 + dy,
-                        1 + dx : W - 1 + dx,
-                    ]
-                    dv = v0 - v1
-                    dv_ = dv * (1 / (dx * dx + dy * dy + dz * dz) / (delta * delta))
-                    inner = inner + dv_ / jnp.sqrt(1 + dv * dv_)
-        return g.at[:, :, 1 : D - 1, 1 : H - 1, 1 : W - 1].set(inner)
+    def _solve_gd(self, A, At, y, x, p):
+        prior_w = self.beta * self.delta * self.delta
+        for _ in range(self.n_iter):
+            err = A(x) - y
+            g = At(err if p is None else p * err)
+            if prior_w:
+                g = g + prior_w * charbonnier_grad(x, self.delta)
+            x = x - self.alpha * g
+        return x

@@ -100,8 +100,12 @@ def test_cg_recon_residual_reduction():
     v0 = PSFreconstruction(theta, slices, None, None, params)
     volume_ = srr(theta, slices, v0, params)
 
+    from nesvor_tpu.svort.srr import make_system
+
+    A, _ = make_system(theta, params)
+
     def residual(v):
-        sim = srr.A(theta, v, None, None, params)
+        sim = A(v)
         return float(jnp.sqrt(jnp.mean((sim - slices) ** 2)))
 
     r0 = residual(v0)
