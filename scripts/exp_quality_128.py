@@ -5,6 +5,7 @@ band-limited 64-voxel bench phantom: a >=128^3 phantom with structure at
 the resolution limit, both encoders at equal iterations, gauge-fixed PSNR.
 
 usage: python scripts/exp_quality_128.py <encoder> [n_iter] [--cpu]
+           [--dirs N] [--width N] [--depth N]
   encoder: fourier | cellhash | hash
 Results are documented in PERF.md.
 """
@@ -12,6 +13,12 @@ Results are documented in PERF.md.
 import sys
 
 sys.path.insert(0, ".")
+
+
+def _opt(name, default):
+    if name in sys.argv:
+        return int(sys.argv[sys.argv.index(name) + 1])
+    return default
 
 
 def main():
@@ -80,9 +87,9 @@ def main():
     args = Namespace(
         n_features_per_level=2, log2_hashmap_size=19, level_scale=1.3819,
         coarsest_resolution=16.0, finest_resolution=0.5, n_levels_bias=0,
-        encoder=encoder, fourier_dirs=8,
-        depth=3 if encoder == "fourier" else 1,
-        width=256 if encoder == "fourier" else 64,
+        encoder=encoder, fourier_dirs=_opt("--dirs", 8),
+        depth=_opt("--depth", 3 if encoder == "fourier" else 1),
+        width=_opt("--width", 256 if encoder == "fourier" else 64),
         head_width=0, head_depth=0,
         n_features_z=15, n_features_slice=16,
         no_transformation_optimization=False, no_slice_scale=False,
