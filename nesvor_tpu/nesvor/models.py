@@ -392,6 +392,21 @@ def init_nesvor(
     return params, consts
 
 
+def bias_features(pe, inr_cfg: INRConfig, n_levels_bias: int) -> jnp.ndarray:
+    """The encoding features of the first ``n_levels_bias`` (coarsest) levels,
+    for the bias-field head (reference models.py:343-349). Layout-aware: the
+    grid encoders emit per-level blocks (a prefix slice), the fourier encoder
+    emits ``[sin | cos]`` halves (see ops/fourier.py) so the low-frequency
+    features are a prefix of each half."""
+    if inr_cfg.encoder == "fourier":
+        half = inr_cfg.n_levels * inr_cfg.fourier_dirs
+        nb = n_levels_bias * inr_cfg.fourier_dirs
+        return jnp.concatenate(
+            [pe[..., :nb], pe[..., half : half + nb]], axis=-1
+        )
+    return pe[..., : n_levels_bias * inr_cfg.features_per_level]
+
+
 def _image_regularization(kind: str, density, xyz, delta):
     """MC-pair regularizers via the flip trick (reference models.py:366-384)."""
     d_density = density - jnp.flip(density, axis=1)
@@ -453,7 +468,7 @@ def nesvor_loss(
 
     results: Dict[str, jnp.ndarray] = {}
     if cfg.n_levels_bias:
-        pe_bias = pe[..., : cfg.n_levels_bias * cfg.inr.features_per_level]
+        pe_bias = bias_features(pe, cfg.inr, cfg.n_levels_bias)
         log_bias = mlp_apply(
             params["b_net"],
             jnp.concatenate(zs + [pe_bias.astype(jnp.float32)], -1),
