@@ -26,6 +26,7 @@ custom_vjp; it falls back to plain XLA on non-TPU backends.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -33,7 +34,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 2048
+TILE = int(os.environ.get("NESVOR_TPU_FUSED_TILE", "2048"))
+
+# the forward grid has no cross-tile dependencies: declare it parallel.
+# the backward grid revisits the dW/db accumulator outputs every step, so
+# its grid dimension must be sequential ("arbitrary") — unless the partial-dW
+# variant is used (per-tile-group dW written to distinct blocks, reduced
+# outside the kernel), which restores a parallel grid.
+_FWD_PARAMS = pltpu.CompilerParams(dimension_semantics=("parallel",))
+_BWD_SEQ_PARAMS = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+_BWD_PAR_PARAMS = pltpu.CompilerParams(dimension_semantics=("parallel",))
+
+# number of dW partial blocks in the parallel-backward variant (0 = use the
+# sequential VMEM-accumulator backward)
+DW_PARTIALS = int(os.environ.get("NESVOR_TPU_FUSED_DW_PARTIALS", "0"))
 
 
 def _interpret() -> bool:
@@ -150,6 +164,7 @@ def _fused_fwd_impl(dims, x, ws, bs):
         out_specs=pl.BlockSpec((TILE, d_last), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((xp.shape[0], d_last), jnp.float32),
         interpret=_interpret(),
+        compiler_params=None if _interpret() else _COMPILER_PARAMS,
     )(xp, *[r for pair in zip(ws, bs) for r in pair])
     return out[:n]
 
@@ -182,6 +197,7 @@ def _fused_vjp_bwd(dims, res, g):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_interpret(),
+        compiler_params=None if _interpret() else _COMPILER_PARAMS,
     )(xp, gp, *[r for pair in zip(ws, bs) for r in pair])
     dx = outs[0][:n]
     dws = [outs[1 + 2 * i] for i in range(n_layers)]

@@ -23,6 +23,12 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     head_width = int(sys.argv[8]) if len(sys.argv) > 8 else 64
     head_depth = int(sys.argv[9]) if len(sys.argv) > 9 else 1
+    width = int(sys.argv[10]) if len(sys.argv) > 10 else (
+        256 if encoder == "fourier" else 64
+    )
+    depth = int(sys.argv[11]) if len(sys.argv) > 11 else (
+        3 if encoder == "fourier" else 1
+    )
 
     from tests.synth import make_phantom_stacks, stacks_to_slices, psnr
     from nesvor_tpu.nesvor.train import train
@@ -36,9 +42,9 @@ def main():
         n_features_per_level=2, log2_hashmap_size=19, level_scale=1.3819,
         coarsest_resolution=16.0, finest_resolution=0.5, n_levels_bias=0,
         encoder=encoder, fourier_dirs=8,
-        depth=3 if encoder == "fourier" else 1,
-        width=256 if encoder == "fourier" else 64,
+        depth=depth, width=width,
         head_width=head_width, head_depth=head_depth,
+        var_warmup_iters=100,
         n_features_z=15, n_features_slice=16,
         no_transformation_optimization=False, no_slice_scale=False,
         no_pixel_variance=False, no_slice_variance=False, single_precision=False,

@@ -26,14 +26,16 @@ from nesvor_tpu.ops.fused_mlp import fused_mlp  # noqa: E402
 def timed_scan(fn, params, x, n_steps, label):
     @jax.jit
     def run(params, x):
-        def one(c, _):
+        def one(p, _):
             # grad wrt params AND x: the real model propagates dX into the
-            # encoding (pose gradients)
-            loss, grads = jax.value_and_grad(fn, argnums=(0, 1))(params, x)
-            return c + loss + jnp.sum(grads[1].astype(jnp.float32)[0]), None
+            # encoding (pose gradients). Params update each step so the scan
+            # body is NOT loop-invariant (XLA would hoist it otherwise).
+            loss, grads = jax.value_and_grad(fn, argnums=(0, 1))(p, x)
+            p = jax.tree_util.tree_map(lambda a, g: a - 1e-12 * g, p, grads[0])
+            return p, loss + jnp.sum(grads[1].astype(jnp.float32)[0])
 
-        tot, _ = jax.lax.scan(one, 0.0, None, length=n_steps)
-        return tot
+        p, losses = jax.lax.scan(one, params, None, length=n_steps)
+        return jnp.sum(losses)
 
     r = run(params, x)
     np.asarray(r)  # compile+first
@@ -59,6 +61,27 @@ def main():
     def loss_fused(params, x):
         return jnp.sum(fused_mlp(params, x, jnp.bfloat16) ** 2)
 
+    def timed_fwd(apply, label):
+        @jax.jit
+        def run(params, x):
+            def one(p, _):
+                out = apply(p, x, jnp.bfloat16)
+                # perturb params so the body isn't loop-invariant
+                p = jax.tree_util.tree_map(
+                    lambda a: a + 1e-12 * jnp.sum(out).astype(a.dtype), p
+                )
+                return p, jnp.sum(out)
+
+            _, outs = jax.lax.scan(one, params, None, length=n_steps)
+            return jnp.sum(outs)
+
+        np.asarray(run(params, x))
+        t0 = time.time()
+        np.asarray(run(params, x))
+        print(f"{label}: {(time.time()-t0)/n_steps*1e3:.2f} ms/step", flush=True)
+
+    timed_fwd(mlp_apply, "xla fwd only  ")
+    timed_fwd(fused_mlp, "fused fwd only")
     timed_scan(loss_xla, params, x, n_steps, "xla chain   ")
     timed_scan(loss_fused, params, x, n_steps, "fused pallas")
 
