@@ -45,9 +45,15 @@ _FWD_PARAMS = pltpu.CompilerParams(dimension_semantics=("parallel",))
 _BWD_SEQ_PARAMS = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
 _BWD_PAR_PARAMS = pltpu.CompilerParams(dimension_semantics=("parallel",))
 
-# number of dW partial blocks in the parallel-backward variant (0 = use the
-# sequential VMEM-accumulator backward)
-DW_PARTIALS = int(os.environ.get("NESVOR_TPU_FUSED_DW_PARTIALS", "0"))
+# Save the hidden activations in the forward and feed them to the backward
+# instead of recomputing them there. The kernel regime is MXU-compute-bound
+# (microbench_mlp: ~2.5 GB/step of tile traffic vs ~1.6 TFLOP/step), so
+# trading HBM bytes (2 extra hidden-activation round trips) for the
+# recompute's 232 GFLOP is the right direction on this chip. Opt-in: the
+# first attempt to compile this variant wedged the remote Mosaic compile
+# helper (2026-08-17); do not enable by default until it has compiled and
+# measured faster on the target toolchain.
+SAVE_HS = os.environ.get("NESVOR_TPU_FUSED_SAVE_HS", "0") != "0"
 
 
 def _interpret() -> bool:
@@ -83,8 +89,10 @@ def _dot_tt(h, delta):
     )
 
 
-def _fwd_kernel(x_ref, *refs, n_layers):
-    out_ref = refs[-1]
+def _fwd_kernel(x_ref, *refs, n_layers, save_hs):
+    # refs: w0, b0, ..., out_ref [, h1_ref, ..., h_{n-1}_ref]
+    out_ref = refs[2 * n_layers]
+    hs_refs = refs[2 * n_layers + 1 :]
     h = x_ref[:]
     for i in range(n_layers):
         w = refs[2 * i][:]
@@ -95,10 +103,14 @@ def _fwd_kernel(x_ref, *refs, n_layers):
             out_ref[:] = z
         else:
             h = jnp.maximum(z, 0.0).astype(x_ref.dtype)
+            if save_hs:
+                hs_refs[i][:] = h
 
 
-def _bwd_kernel(x_ref, g_ref, *refs, n_layers):
-    # refs: w0, b0, w1, b1, ..., dx_ref, dw0, db0, dw1, db1, ...
+def _bwd_kernel(x_ref, g_ref, *refs, n_layers, n_hs):
+    # refs: [h1, ..., h_{n_hs},] w0, b0, ..., dx_ref, dw0, db0, dw1, db1, ...
+    hs_refs = refs[:n_hs]
+    refs = refs[n_hs:]
     dx_ref = refs[2 * n_layers]
     dparam_refs = refs[2 * n_layers + 1 :]
     i_prog = pl.program_id(0)
@@ -108,15 +120,19 @@ def _bwd_kernel(x_ref, g_ref, *refs, n_layers):
         for r in dparam_refs:
             r[:] = jnp.zeros_like(r)
 
-    # forward recompute, stashing post-relu activations
     hs = [x_ref[:]]
-    h = hs[0]
-    for i in range(n_layers - 1):
-        w = refs[2 * i][:]
-        b = refs[2 * i + 1][:]
-        z = _dot(h, w, jnp.float32) + b.astype(jnp.float32)
-        h = jnp.maximum(z, 0.0).astype(x_ref.dtype)
-        hs.append(h)
+    if n_hs:
+        # post-relu activations saved by the forward
+        hs += [r[:] for r in hs_refs]
+    else:
+        # forward recompute, stashing post-relu activations
+        h = hs[0]
+        for i in range(n_layers - 1):
+            w = refs[2 * i][:]
+            b = refs[2 * i + 1][:]
+            z = _dot(h, w, jnp.float32) + b.astype(jnp.float32)
+            h = jnp.maximum(z, 0.0).astype(x_ref.dtype)
+            hs.append(h)
 
     delta = g_ref[:].astype(x_ref.dtype)  # (T, d_last)
     for i in range(n_layers - 1, -1, -1):
@@ -151,31 +167,47 @@ def _w_b_specs(n_layers):
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2 * n_layers)]
 
 
-def _fused_fwd_impl(dims, x, ws, bs):
+def _fused_fwd_impl(dims, x, ws, bs, save_hs=False):
+    """Returns out (or (out, hs) when ``save_hs``): hs are the post-relu
+    hidden activations, saved for the no-recompute backward."""
     n_layers = len(dims)
     xp, n = _pad_rows(x, TILE)
     grid = xp.shape[0] // TILE
     d_last = dims[-1][1]
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_layers=n_layers),
+    out_specs = [pl.BlockSpec((TILE, d_last), lambda i: (i, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((xp.shape[0], d_last), jnp.float32)]
+    if save_hs:
+        for d_in, d_out in dims[:-1]:
+            out_specs.append(pl.BlockSpec((TILE, d_out), lambda i: (i, 0)))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((xp.shape[0], d_out), x.dtype)
+            )
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_layers=n_layers, save_hs=save_hs),
         grid=(grid,),
         in_specs=[pl.BlockSpec((TILE, dims[0][0]), lambda i: (i, 0))]
         + _w_b_specs(n_layers),
-        out_specs=pl.BlockSpec((TILE, d_last), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((xp.shape[0], d_last), jnp.float32),
+        out_specs=out_specs if save_hs else out_specs[0],
+        out_shape=out_shapes if save_hs else out_shapes[0],
         interpret=_interpret(),
-        compiler_params=None if _interpret() else _COMPILER_PARAMS,
+        compiler_params=None if _interpret() else _FWD_PARAMS,
     )(xp, *[r for pair in zip(ws, bs) for r in pair])
-    return out[:n]
+    if save_hs:
+        return outs[0][:n], outs[1:]  # hs stay row-padded (kernel-internal)
+    return outs[:n]
 
 
 def _fused_vjp_fwd(dims, x, ws, bs):
-    return _fused_fwd_impl(dims, x, ws, bs), (x, ws, bs)
+    if SAVE_HS:
+        out, hs = _fused_fwd_impl(dims, x, ws, bs, save_hs=True)
+        return out, (x, ws, bs, hs)
+    return _fused_fwd_impl(dims, x, ws, bs), (x, ws, bs, ())
 
 
 def _fused_vjp_bwd(dims, res, g):
-    x, ws, bs = res
+    x, ws, bs, hs = res
     n_layers = len(dims)
+    n_hs = len(hs)
     xp, n = _pad_rows(x, TILE)
     gp, _ = _pad_rows(g.astype(jnp.float32), TILE)
     grid = xp.shape[0] // TILE
@@ -186,19 +218,24 @@ def _fused_vjp_bwd(dims, res, g):
         out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         out_shapes.append(jax.ShapeDtypeStruct((1, d_out), jnp.float32))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    hs_specs = [
+        pl.BlockSpec((TILE, dims[i][1]), lambda i_: (i_, 0))
+        for i in range(n_hs)
+    ]
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_layers=n_layers),
+        functools.partial(_bwd_kernel, n_layers=n_layers, n_hs=n_hs),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((TILE, dims[0][0]), lambda i: (i, 0)),
             pl.BlockSpec((TILE, dims[-1][1]), lambda i: (i, 0)),
         ]
+        + hs_specs
         + _w_b_specs(n_layers),
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_interpret(),
-        compiler_params=None if _interpret() else _COMPILER_PARAMS,
-    )(xp, gp, *[r for pair in zip(ws, bs) for r in pair])
+        compiler_params=None if _interpret() else _BWD_SEQ_PARAMS,
+    )(xp, gp, *hs, *[r for pair in zip(ws, bs) for r in pair])
     dx = outs[0][:n]
     dws = [outs[1 + 2 * i] for i in range(n_layers)]
     dbs = [outs[2 + 2 * i] for i in range(n_layers)]
