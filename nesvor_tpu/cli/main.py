@@ -357,6 +357,11 @@ def build_main_parser() -> argparse.ArgumentParser:
         add_help=False,
     )
     parser_sample_volume.add_argument(
+        "--dp-devices", default=0, type=int,
+        help="Shard inference voxel batches over this many devices "
+        "(replicated model, identical results). 0/1 = single device.",
+    )
+    parser_sample_volume.add_argument(
         "-h", "--help", action="help", help=argparse.SUPPRESS
     )
     parser_sample_slices = subparsers.add_parser(
@@ -374,6 +379,11 @@ def build_main_parser() -> argparse.ArgumentParser:
         ],
         formatter_class=FormatterMetavar,
         add_help=False,
+    )
+    parser_sample_slices.add_argument(
+        "--dp-devices", default=0, type=int,
+        help="Shard inference point batches over this many devices "
+        "(replicated model, identical results). 0/1 = single device.",
     )
     parser_sample_slices.add_argument(
         "-h", "--help", action="help", help=argparse.SUPPRESS

@@ -61,9 +61,24 @@ def _eval_points(
     n_samples: int,
     batch_size: int,
     key,
+    dp_devices: int = 0,
 ) -> np.ndarray:
     """Evaluate points in fixed-size padded chunks (one compiled shape).
-    ``mats`` is None or (N, 3, 4) per-point matrices."""
+    ``mats`` is None or (N, 3, 4) per-point matrices.
+
+    ``dp_devices > 1`` shards each chunk's point axis over a device mesh
+    (inference data parallelism — the volume-sampling analog of train's
+    --dp-devices; reference is single-GPU, SURVEY.md §2.3). Params are
+    replicated; results are identical to the single-device path because the
+    partitionable counter-based PRNG derives MC draws from array position."""
+    point_sharding = None
+    if dp_devices and dp_devices > 1:
+        from ..parallel.dp import make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(jax.devices()[:dp_devices])
+        point_sharding = NamedSharding(mesh, P("dp"))
+        batch_size = -(-batch_size // dp_devices) * dp_devices
     n = xyz.shape[0]
     # dispatch every chunk first, fetch after: JAX dispatch is async, so the
     # device pipelines chunk i+1 while the host would otherwise be blocked
@@ -81,6 +96,10 @@ def _eval_points(
                 m = jnp.concatenate(
                     [m, jnp.broadcast_to(jnp.eye(3, 4, dtype=m.dtype), (pad, 3, 4))], 0
                 )
+        if point_sharding is not None:
+            chunk = jax.device_put(chunk, point_sharding)
+            if m is not None:
+                m = jax.device_put(m, point_sharding)
         key, k = jax.random.split(key)
         pending.append(
             _eval_chunk(
@@ -105,7 +124,10 @@ def sample_points(model: INRModel, xyz: jnp.ndarray, args: Namespace) -> jnp.nda
     n_samples = max(n_samples, 1)
     psf_sigma = resolution2sigma(float(args.output_resolution), isotropic=True)
     key = jax.random.PRNGKey(getattr(args, "seed", 0) or 0)
-    out = _eval_points(model, xyz, None, psf_sigma, n_samples, batch_size, key)
+    out = _eval_points(
+        model, xyz, None, psf_sigma, n_samples, batch_size, key,
+        dp_devices=int(getattr(args, "dp_devices", 0) or 0),
+    )
     return jnp.asarray(out.reshape(shape))
 
 
@@ -165,6 +187,7 @@ def sample_slice(
         n_samples,
         int(getattr(args, "inference_batch_size", 0) or 32768),
         key,
+        dp_devices=int(getattr(args, "dp_devices", 0) or 0),
     )
     v = jnp.asarray(v)
     mask_img = m.reshape(out.mask.shape)
