@@ -52,6 +52,27 @@ def save_model(path: str, model: INRModel, mask: Volume, args: Namespace) -> Non
         pickle.dump(payload, f)
 
 
+def _migrate_fourier_layout(params: Dict, cfg_dict: Dict) -> Dict:
+    """Permute a pre-``feature_layout`` fourier checkpoint's density-net
+    input layer from the old per-level [sin_l|cos_l] block order to the
+    current [sin|cos] halves order (ops/fourier.py). Only the first layer
+    consumes the encoding, so this permutation is the whole migration."""
+    L, D = int(cfg_dict["n_levels"]), int(cfg_dict.get("fourier_dirs", 8))
+    old_row = np.empty(2 * L * D, dtype=np.int64)
+    for j in range(L * D):
+        old_row[j] = (j // D) * 2 * D + (j % D)  # sin half
+        old_row[L * D + j] = (j // D) * 2 * D + D + (j % D)  # cos half
+    params = dict(params)
+    net = dict(params["density_net"])
+    layers = list(net["layers"])
+    l0 = dict(layers[0])
+    l0["w"] = np.asarray(l0["w"])[old_row]
+    layers[0] = l0
+    net["layers"] = layers
+    params["density_net"] = net
+    return params
+
+
 def load_model(path: str, args: Namespace) -> Tuple[INRModel, Volume, Namespace]:
     with open(path, "rb") as f:
         cp = pickle.load(f)
@@ -62,9 +83,12 @@ def load_model(path: str, args: Namespace) -> Tuple[INRModel, Volume, Namespace]
         "float16": jnp.float16,
     }[str(cfg_dict["compute_dtype"])]
     cfg_dict["level_resolutions"] = tuple(cfg_dict["level_resolutions"])
+    params = cp["model"]["params"]
+    if cfg_dict.get("encoder") == "fourier" and "feature_layout" not in cfg_dict:
+        params = _migrate_fourier_layout(params, cfg_dict)
     cfg = INRConfig(**cfg_dict)
     model = INRModel(
-        params=_to_jax(cp["model"]["params"]),
+        params=_to_jax(params),
         cfg=cfg,
         bounding_box=jnp.asarray(cp["model"]["bounding_box"]),
     )

@@ -359,7 +359,8 @@ def build_main_parser() -> argparse.ArgumentParser:
     parser_sample_volume.add_argument(
         "--dp-devices", default=0, type=int,
         help="Shard inference voxel batches over this many devices "
-        "(replicated model, identical results). 0/1 = single device.",
+        "(replicated model; bit-identical to single-device when "
+        "--inference-batch-size divides evenly). 0/1 = single device.",
     )
     parser_sample_volume.add_argument(
         "-h", "--help", action="help", help=argparse.SUPPRESS
@@ -383,7 +384,8 @@ def build_main_parser() -> argparse.ArgumentParser:
     parser_sample_slices.add_argument(
         "--dp-devices", default=0, type=int,
         help="Shard inference point batches over this many devices "
-        "(replicated model, identical results). 0/1 = single device.",
+        "(replicated model; bit-identical to single-device when "
+        "--inference-batch-size divides evenly). 0/1 = single device.",
     )
     parser_sample_slices.add_argument(
         "-h", "--help", action="help", help=argparse.SUPPRESS

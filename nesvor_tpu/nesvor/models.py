@@ -75,6 +75,12 @@ class INRConfig:
     # level (all-MXU; see ops/fourier.py) — pair with a wider/deeper MLP.
     encoder: str = "hash"
     fourier_dirs: int = 8
+    # version marker for the fourier feature ordering: "halves" = [sin|cos]
+    # full-width halves (current, see ops/fourier.py). Checkpoints saved
+    # before this field existed used per-level [sin_l|cos_l] blocks; the
+    # loader detects the missing key and permutes the density net's first
+    # layer accordingly (cli/io.py).
+    feature_layout: str = "halves"
 
     @property
     def table_size(self) -> int:

@@ -69,16 +69,42 @@ def _eval_points(
     ``dp_devices > 1`` shards each chunk's point axis over a device mesh
     (inference data parallelism — the volume-sampling analog of train's
     --dp-devices; reference is single-GPU, SURVEY.md §2.3). Params are
-    replicated; results are identical to the single-device path because the
-    partitionable counter-based PRNG derives MC draws from array position."""
+    replicated. Results are bit-identical to the single-device path when
+    ``batch_size`` is a multiple of ``dp_devices`` (the partitionable
+    counter-based PRNG derives MC draws from array position); otherwise the
+    batch is rounded up, which shifts chunk boundaries and therefore the
+    per-chunk RNG streams — same distribution, different MC draws."""
     point_sharding = None
     if dp_devices and dp_devices > 1:
+        import logging
+
         from ..parallel.dp import make_mesh
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        mesh = make_mesh(jax.devices()[:dp_devices])
-        point_sharding = NamedSharding(mesh, P("dp"))
-        batch_size = -(-batch_size // dp_devices) * dp_devices
+        if dp_devices > len(jax.devices()):
+            raise ValueError(
+                f"--dp-devices {dp_devices} > {len(jax.devices())} available "
+                "devices"
+            )
+        if jax.process_count() > 1:
+            # multi-host meshes need non-addressable shards that
+            # jax.device_put cannot build here; inference is cheap enough
+            # per host, so run it single-device rather than crash after
+            # an expensive training phase
+            logging.warning(
+                "dp inference is single-process only; falling back to the "
+                "single-device path"
+            )
+        else:
+            mesh = make_mesh(jax.devices()[:dp_devices])
+            point_sharding = NamedSharding(mesh, P("dp"))
+            if batch_size % dp_devices:
+                logging.info(
+                    "inference_batch_size %d rounded up to a multiple of "
+                    "dp_devices (MC draws will differ from the "
+                    "single-device run at noise level)", batch_size,
+                )
+            batch_size = -(-batch_size // dp_devices) * dp_devices
     n = xyz.shape[0]
     # dispatch every chunk first, fetch after: JAX dispatch is async, so the
     # device pipelines chunk i+1 while the host would otherwise be blocked

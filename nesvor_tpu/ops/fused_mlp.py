@@ -38,12 +38,10 @@ TILE = int(os.environ.get("NESVOR_TPU_FUSED_TILE", "2048"))
 
 # the forward grid has no cross-tile dependencies: declare it parallel.
 # the backward grid revisits the dW/db accumulator outputs every step, so
-# its grid dimension must be sequential ("arbitrary") — unless the partial-dW
-# variant is used (per-tile-group dW written to distinct blocks, reduced
-# outside the kernel), which restores a parallel grid.
+# its grid dimension must be sequential ("arbitrary"); Mosaic still
+# pipelines the blocked x/g/dx tiles along it.
 _FWD_PARAMS = pltpu.CompilerParams(dimension_semantics=("parallel",))
 _BWD_SEQ_PARAMS = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
-_BWD_PAR_PARAMS = pltpu.CompilerParams(dimension_semantics=("parallel",))
 
 # Save the hidden activations in the forward and feed them to the backward
 # instead of recomputing them there. The kernel regime is MXU-compute-bound

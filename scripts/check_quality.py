@@ -29,6 +29,12 @@ def main():
     depth = int(sys.argv[11]) if len(sys.argv) > 11 else (
         3 if encoder == "fourier" else 1
     )
+    # variance-head LR warmup: needed by small decoupled heads (PERF.md
+    # "decoupled-head collapse"); reference behavior (grid encoders, full
+    # heads) is 0
+    var_warmup = int(sys.argv[12]) if len(sys.argv) > 12 else (
+        100 if (encoder == "fourier" and head_width) else 0
+    )
 
     from tests.synth import make_phantom_stacks, stacks_to_slices, psnr
     from nesvor_tpu.nesvor.train import train
@@ -44,7 +50,7 @@ def main():
         encoder=encoder, fourier_dirs=8,
         depth=depth, width=width,
         head_width=head_width, head_depth=head_depth,
-        var_warmup_iters=100,
+        var_warmup_iters=var_warmup,
         n_features_z=15, n_features_slice=16,
         no_transformation_optimization=False, no_slice_scale=False,
         no_pixel_variance=False, no_slice_variance=False, single_precision=False,

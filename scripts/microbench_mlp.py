@@ -1,8 +1,8 @@
 """Density-MLP fwd+bwd microbench: XLA chain vs fused Pallas variants.
 
 Usage: python scripts/microbench_mlp.py [n_rows] [n_steps]
-Env: NESVOR_TPU_FUSED_MLP / NESVOR_TPU_FUSED_TILE / NESVOR_TPU_FUSED_SEM
-select fused-kernel variants inside ops/fused_mlp.py.
+Env: NESVOR_TPU_FUSED_TILE / NESVOR_TPU_FUSED_SAVE_HS select fused-kernel
+variants inside ops/fused_mlp.py.
 """
 
 import sys

@@ -62,3 +62,26 @@ def test_fused_mlp_grads_match():
     np.testing.assert_allclose(
         np.asarray(gx_f), np.asarray(gx_r), atol=2e-2, rtol=5e-2
     )
+
+
+def test_fused_mlp_save_hs_grads_match_recompute(monkeypatch):
+    """The no-recompute backward (forward-saved activations) must produce
+    the same gradients as the recompute backward."""
+    import nesvor_tpu.ops.fused_mlp as F
+
+    key = jax.random.PRNGKey(4)
+    params = mlp_init(key, 31, 1, 32, 2)
+    x = jax.random.normal(jax.random.PRNGKey(5), (513, 31), jnp.float32)
+
+    def loss(params, x):
+        return jnp.sum(fused_mlp(params, x, jnp.float32) ** 2)
+
+    monkeypatch.setattr(F, "SAVE_HS", False)
+    g_re = jax.grad(loss, argnums=(0, 1))(params, x)
+    monkeypatch.setattr(F, "SAVE_HS", True)
+    g_hs = jax.grad(loss, argnums=(0, 1))(params, x)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_re), jax.tree_util.tree_leaves(g_hs)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-5)

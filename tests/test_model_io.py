@@ -1,0 +1,83 @@
+"""Model checkpoint round-trip + fourier feature-layout migration."""
+
+import pickle
+from argparse import Namespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nesvor_tpu.cli.io import load_model, save_model
+from nesvor_tpu.image import Volume
+from nesvor_tpu.nesvor.models import INRConfig, init_inr, inr_forward
+from nesvor_tpu.nesvor.train import INRModel
+from nesvor_tpu.transform import RigidTransform
+
+
+def _tiny_fourier_model():
+    cfg = INRConfig(
+        n_levels=3, base_resolution=2, level_resolutions=(2, 4, 8),
+        encoder="fourier", fourier_dirs=4, width=32, depth=2,
+        compute_dtype=jnp.float32,
+    )
+    params = init_inr(jax.random.PRNGKey(0), cfg)
+    bb = jnp.asarray([[-4.0, -4.0, -4.0], [4.0, 4.0, 4.0]])
+    return INRModel(params=params, cfg=cfg, bounding_box=bb)
+
+
+def _mask():
+    img = jnp.ones((4, 4, 4), jnp.float32)
+    return Volume(
+        img, img > 0, RigidTransform(jnp.zeros((1, 6), jnp.float32)),
+        1.0, 1.0, 1.0,
+    )
+
+
+def _eval(model, x):
+    d, _, _ = inr_forward(model.params, model.cfg, model.bounding_box, x)
+    return np.asarray(d)
+
+
+def test_save_load_round_trip(tmp_path):
+    model = _tiny_fourier_model()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-3, maxval=3)
+    path = str(tmp_path / "m.pt")
+    save_model(path, model, _mask(), Namespace(seed=0))
+    loaded, mask, args = load_model(path, Namespace(seed=0))
+    assert loaded.cfg == model.cfg
+    np.testing.assert_allclose(_eval(loaded, x), _eval(model, x), rtol=1e-6)
+
+
+def test_fourier_layout_migration(tmp_path):
+    """A checkpoint written before the [sin|cos]-halves layout (no
+    feature_layout key; density-net rows in per-level [sin_l|cos_l] order)
+    must load to the same function under the current code."""
+    model = _tiny_fourier_model()
+    x = jax.random.uniform(jax.random.PRNGKey(2), (64, 3), minval=-3, maxval=3)
+    want = _eval(model, x)
+
+    path = str(tmp_path / "m.pt")
+    save_model(path, model, _mask(), Namespace(seed=0))
+    with open(path, "rb") as f:
+        cp = pickle.load(f)
+    # rewrite as an old-format checkpoint: drop the marker and permute the
+    # first-layer rows from halves order back to per-level block order
+    del cp["model"]["cfg"]["feature_layout"]
+    L, D = 3, 4
+    new_row_for_old = np.empty(2 * L * D, dtype=np.int64)
+    for j in range(L * D):
+        new_row_for_old[(j // D) * 2 * D + (j % D)] = j
+        new_row_for_old[(j // D) * 2 * D + D + (j % D)] = L * D + j
+    w0 = cp["model"]["params"]["density_net"]["layers"][0]["w"]
+    # w_old[k] = weight row of the feature that now lives at new index
+    # new_row_for_old[k]
+    cp["model"]["params"]["density_net"]["layers"][0]["w"] = np.asarray(w0)[
+        new_row_for_old
+    ]
+    old_path = str(tmp_path / "old.pt")
+    with open(old_path, "wb") as f:
+        pickle.dump(cp, f)
+
+    loaded, _, _ = load_model(old_path, Namespace(seed=0))
+    assert loaded.cfg.feature_layout == "halves"
+    np.testing.assert_allclose(_eval(loaded, x), want, rtol=1e-6)
