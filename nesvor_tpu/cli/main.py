@@ -182,6 +182,17 @@ def build_parser_training() -> argparse.ArgumentParser:
         "pixel-batch axis, gradients all-reduced over ICI). 0/1 = single "
         "device (the reference is strictly single-GPU; this is additive).",
     )
+    parser.add_argument(
+        "--train-checkpoint", default=None, type=str,
+        help="Path for mid-training state checkpoints (params + optimizer + "
+        "RNG + iteration). If the file exists and matches the run, training "
+        "resumes from it (additive; the reference has no mid-run resume).",
+    )
+    parser.add_argument(
+        "--checkpoint-every", default=0, type=int,
+        help="Write --train-checkpoint every N iterations "
+        "(0 = after every dispatch chunk).",
+    )
     return _parser
 
 

@@ -53,6 +53,59 @@ LAST_RUN_STATS: Dict[str, float] = {}
 LAST_PARAMS: Dict = {}
 
 
+def _save_train_state(path: str, params, opt_state, key, done: int, args) -> None:
+    """Mid-run training checkpoint (additive — the reference has model-level
+    checkpoints only, no resume; SURVEY.md §5). Atomic write so an
+    interrupt mid-save never corrupts the previous state."""
+    import os
+    import pickle
+
+    to_np = lambda t: jax.tree_util.tree_map(lambda x: np.asarray(x), t)
+    payload = {
+        "params": to_np(params),
+        "opt_state": to_np(opt_state),
+        "key": np.asarray(key),
+        "done": int(done),
+        "n_iter": int(args.n_iter),
+        "seed": getattr(args, "seed", None),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def _load_train_state(path: str, params, opt_state, args):
+    """Restore (params, opt_state, key, done) from a mid-run checkpoint, or
+    None when the checkpoint does not match the current run (different
+    n_iter/seed or parameter structure) — callers then start fresh."""
+    import pickle
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if payload.get("n_iter") != int(args.n_iter) or payload.get(
+        "seed"
+    ) != getattr(args, "seed", None):
+        logging.warning(
+            "train checkpoint %s is for a different run "
+            "(n_iter/seed mismatch); starting fresh", path,
+        )
+        return None
+    try:
+        to_jax = lambda ref, t: jax.tree_util.tree_map(
+            lambda r, x: jnp.asarray(x, getattr(r, "dtype", None)), ref, t
+        )
+        params = to_jax(params, payload["params"])
+        opt_state = to_jax(opt_state, payload["opt_state"])
+    except ValueError as e:
+        logging.warning(
+            "train checkpoint %s does not match the model structure (%s); "
+            "starting fresh", path, e,
+        )
+        return None
+    return params, opt_state, jnp.asarray(payload["key"]), payload["done"]
+
+
 @dataclass
 class INRModel:
     """Trained-INR handle: everything needed to sample the volume and to
@@ -563,6 +616,23 @@ def train(
     start = time.time()
     done = 0
     chunk_timings = []
+    # mid-run checkpoint/resume (additive; reference has none — SURVEY §5).
+    # Resume is exact when the chunk sequence matches, i.e. with a fixed
+    # --max-chunk-steps; under adaptive chunking the RNG stream after the
+    # resume point can differ from an uninterrupted run (same distribution).
+    ckpt_path = getattr(args, "train_checkpoint", None)
+    ckpt_every = int(getattr(args, "checkpoint_every", 0) or 0)
+    if ckpt_path:
+        import os
+
+        if os.path.exists(ckpt_path):
+            resumed = _load_train_state(ckpt_path, params, opt_state, args)
+            if resumed is not None:
+                params, opt_state, key, done = resumed
+                logging.info(
+                    "resumed training from %s at iteration %d", ckpt_path, done
+                )
+    last_ckpt = done
     logging.info("NeSVoR training starts.")
     while done < args.n_iter:
         n_steps = min(max_chunk, args.n_iter - done)
@@ -575,6 +645,11 @@ def train(
         losses = dict(zip(loss_names, np.asarray(loss_stack)))  # one fetch
         dt_chunk = time.time() - t_chunk
         done += n_steps
+        if ckpt_path and done < args.n_iter and (
+            ckpt_every <= 0 or done - last_ckpt >= ckpt_every
+        ):
+            _save_train_state(ckpt_path, params, opt_state, key, done, args)
+            last_ckpt = done
         if adaptive and len(chunk_timings) < 3 and n_steps == max_chunk:
             # the 2nd same-size chunk is compile-free: use it to size chunks
             # for a ~30 s dispatch budget
@@ -613,6 +688,15 @@ def train(
             *[average[k] for k in losses],
             float(schedule(done)),
         )
+
+    if ckpt_path:
+        # the run completed: the mid-run state has served its purpose (the
+        # trained model is the output); a stale file would make a rerun of
+        # the same command resume instead of retrain
+        import os
+
+        if os.path.exists(ckpt_path):
+            os.remove(ckpt_path)
 
     # outputs (reference train.py:223-232)
     transformation = RigidTransform(
