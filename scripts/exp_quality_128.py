@@ -90,7 +90,11 @@ def main():
         encoder=encoder, fourier_dirs=_opt("--dirs", 8),
         depth=_opt("--depth", 3 if encoder == "fourier" else 1),
         width=_opt("--width", 256 if encoder == "fourier" else 64),
-        head_width=0, head_depth=0,
+        # 0 = heads follow --width/--depth (the study's original rows);
+        # pass --head-width 64 --head-depth 1 --warmup 100 for the bench
+        # flagship head config
+        head_width=_opt("--head-width", 0), head_depth=_opt("--head-depth", 0),
+        var_warmup_iters=_opt("--warmup", 0),
         n_features_z=15, n_features_slice=16,
         no_transformation_optimization=False, no_slice_scale=False,
         no_pixel_variance=False, no_slice_variance=False, single_precision=False,
