@@ -25,6 +25,9 @@ def _args(n_iter, **kw):
         learning_rate=5e-3, gamma=0.33, milestones=[0.5, 0.75, 0.9],
         n_iter=n_iter, batch_size=64, n_samples=4,
         seed=0, mask_threshold=1.0, max_chunk_steps=2,
+        # exercise the optax.multi_transform (warmup) optimizer state in
+        # the checkpoint payload
+        var_warmup_iters=2,
     )
     for k, v in kw.items():
         setattr(a, k, v)
