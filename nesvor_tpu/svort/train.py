@@ -1,0 +1,267 @@
+"""Train SVoRT from scratch on synthetic motion (additive capability).
+
+The reference ships only *inference* for SVoRT — pretrained weights are
+downloaded from Zenodo (reference nesvor/svort/inference.py:565-591) and no
+training code exists in the repo. This module implements the training
+recipe of the SVoRT paper (Xu et al., MICCAI 2022: simulated multi-stack
+acquisitions of 3D volumes with random rigid slice motion, supervised by
+the 9-dof anchor-point pose parametrization) so users without the Zenodo
+checkpoints — or with different anatomy — can train their own model.
+
+Data generation is self-contained: random-ellipsoid volumes (varied
+geometry per example, unlike the fixed test phantom), acquired at
+``n_stacks`` orientations through the PSF projector with per-slice rigid
+motion. The model receives the motion-free scanner geometry and must
+recover the true poses; the loss is the mean squared anchor-point error
+averaged over the model's refinement iterations (gradients flow through
+every iteration's pose head; the volume branch is stop-gradiented inside
+the model, matching reference models.py:102-107).
+
+Typical use::
+
+    from nesvor_tpu.svort.train import SVoRTTrainConfig, train_svort
+    model, params, history = train_svort(SVoRTTrainConfig(steps=2000))
+    np.savez(".../SVoRT_v1.npz", **{k: np.asarray(v) for k, v in params.items()})
+
+The saved .npz is what ``svort_predict`` loads (same flat torch-named
+parameter dict as the Zenodo-checkpoint converter emits, svort/convert.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.slice_acq import slice_acquisition
+from ..transform import (
+    RigidTransform,
+    mat2point,
+    mat_update_resolution,
+    point2mat,
+)
+from ..utils import gaussian_blur, get_psf
+from .models import SVoRT, SVoRTv2
+
+
+@dataclass(frozen=True)
+class SVoRTTrainConfig:
+    version: str = "v1"
+    n_iter_model: int = 3  # reference: v1=3, v2=4
+    steps: int = 1000
+    lr: float = 1e-4
+    n_examples: int = 16  # size of the pre-simulated example pool
+    vs: int = 48  # volume size (voxels) at res_r
+    n_stacks: int = 3  # v1 consumes triplets; v2 can take more
+    gap: float = 3.0
+    res_s: float = 1.0
+    res_r: float = 1.0
+    motion_rot: float = 0.06  # per-slice rotation std (radians)
+    motion_trans: float = 2.0  # per-slice translation std (mm)
+    volume_shape: Tuple[int, int, int] = (96, 96, 96)  # PSF-recon working vol
+    seed: int = 0
+    log_every: int = 50
+
+
+def synth_volume(rng: np.random.Generator, vs: int) -> jnp.ndarray:
+    """Random smooth multi-ellipsoid volume in [0, 1] — varied geometry per
+    example so the pose network cannot memorize one anatomy."""
+    zyx = np.stack(
+        np.meshgrid(*([np.linspace(-1, 1, vs)] * 3), indexing="ij"), -1
+    )
+    vol = np.zeros((vs, vs, vs), np.float32)
+    for _ in range(int(rng.integers(4, 9))):
+        center = rng.uniform(-0.45, 0.45, 3)
+        radii = rng.uniform(0.15, 0.55, 3)
+        # random orientation via a random rotation matrix (QR of a Gaussian)
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        d = (zyx - center) @ q.T / radii
+        vol += rng.uniform(0.3, 1.0) * (np.sum(d * d, -1) <= 1.0)
+    vol = np.clip(vol, 0, 1.5).astype(np.float32)
+    out = gaussian_blur(jnp.asarray(vol)[None, None], 0.8, 3.0)[0, 0]
+    return out / jnp.maximum(jnp.max(out), 1e-6)
+
+
+def _stack_geometry(cfg: SVoRTTrainConfig, rng: np.random.Generator):
+    """Per-stack slice grids: base (motion-free) and true (with motion)
+    axis-angle arrays, trans_first convention."""
+    fov = np.sqrt(3) * cfg.vs * cfg.res_r
+    n_slice = int(fov / cfg.gap) + 2
+    ss = int(fov / cfg.res_s) + 2
+    base_angles = [
+        [0, 0, 0], [np.pi / 2, 0, 0], [0, np.pi / 2, 0], [0, 0, np.pi / 2],
+        [np.pi / 4, np.pi / 4, 0], [0, np.pi / 4, np.pi / 4],
+    ]
+    ax_base, ax_true = [], []
+    for i in range(cfg.n_stacks):
+        angle = np.asarray(base_angles[i % len(base_angles)], np.float32)
+        # small random stack-level orientation jitter so orientations vary
+        angle = angle + rng.normal(0, 0.1, 3)
+        ax = np.tile(angle.astype(np.float32), (n_slice, 1))
+        tz = (np.arange(n_slice, dtype=np.float32) - (n_slice - 1) / 2) * cfg.gap
+        t = np.stack((np.zeros_like(tz), np.zeros_like(tz), tz), -1)
+        base = np.concatenate([ax, t], -1).astype(np.float32)
+        true = base.copy()
+        true[:, :3] += rng.normal(0, cfg.motion_rot, (n_slice, 3))
+        true[:, 3:] += rng.normal(0, cfg.motion_trans, (n_slice, 3))
+        ax_base.append(base)
+        ax_true.append(true.astype(np.float32))
+    return ax_base, ax_true, n_slice, ss
+
+
+def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
+    """One simulated example: the SVoRT input dict (motion-free geometry)
+    plus the ground-truth anchor-point targets ``theta_gt``."""
+    rng = np.random.default_rng(seed)
+    volume = synth_volume(rng, cfg.vs)[None, None]
+    ax_base, ax_true, n_slice, ss = _stack_geometry(cfg, rng)
+    psf_acq = jnp.asarray(
+        get_psf(
+            res_ratio=(
+                cfg.res_s / cfg.res_r,
+                cfg.res_s / cfg.res_r,
+                cfg.gap / cfg.res_r,
+            )
+        )
+    )
+    stacks, mats_true = [], []
+    for base, true in zip(ax_base, ax_true):
+        t_true = RigidTransform(jnp.asarray(true), trans_first=True)
+        mat = mat_update_resolution(t_true.matrix(), 1, cfg.res_r)
+        s = slice_acquisition(
+            mat, volume, None, None, psf_acq, (ss, ss),
+            cfg.res_s / cfg.res_r, False, False,
+        )
+        q99 = jnp.quantile(s, 0.99)
+        stacks.append(s / jnp.maximum(q99, 1e-6))
+        mats_true.append(t_true.matrix())
+
+    positions = jnp.concatenate(
+        [
+            jnp.stack(
+                (
+                    jnp.arange(n_slice, dtype=jnp.float32) - n_slice // 2,
+                    jnp.full((n_slice,), k, dtype=jnp.float32),
+                ),
+                -1,
+            )
+            for k in range(cfg.n_stacks)
+        ],
+        axis=0,
+    )
+    psf_rec = jnp.asarray(
+        get_psf(
+            res_ratio=(
+                cfg.res_s / cfg.res_r,
+                cfg.res_s / cfg.res_r,
+                cfg.gap / cfg.res_r,
+            )
+        )
+    )
+    mats_base = RigidTransform.cat(
+        [RigidTransform(jnp.asarray(b), trans_first=True) for b in ax_base]
+    ).matrix()
+    data = {
+        "psf_rec": psf_rec,
+        "slice_shape": (ss, ss),
+        "resolution_slice": cfg.res_s,
+        "resolution_recon": cfg.res_r,
+        "slice_thickness": cfg.gap,
+        "volume_shape": cfg.volume_shape,
+        "transforms": mats_base,
+        "stacks": jnp.concatenate(stacks, axis=0),
+        "positions": positions,
+    }
+    theta_gt = mat2point(jnp.concatenate(mats_true, 0), ss, ss, cfg.res_s)
+    return {"data": data, "theta_gt": theta_gt}
+
+
+def pose_error(theta_pred, theta_gt):
+    """(rotation mrad, translation mm) mean errors of anchor-point poses."""
+    t_p = RigidTransform(point2mat(theta_pred))
+    t_g = RigidTransform(point2mat(theta_gt))
+    diff = t_g.inv().compose(t_p).axisangle()
+    rot = float(jnp.linalg.norm(diff[:, :3], axis=-1).mean()) * 1e3
+    trans = float(jnp.linalg.norm(diff[:, 3:], axis=-1).mean())
+    return rot, trans
+
+
+def train_svort(cfg: SVoRTTrainConfig, model=None):
+    """Returns (model, trained params, history dict of per-log losses)."""
+    import optax
+
+    if model is None:
+        if cfg.version == "v1":
+            model = SVoRT(n_iter=cfg.n_iter_model)
+        elif cfg.version == "v2":
+            model = SVoRTv2(n_iter=cfg.n_iter_model)
+        else:
+            raise ValueError(cfg.version)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    params = model.init(key)
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(params)
+
+    logging.info(
+        "simulating %d SVoRT training examples (vs=%d, %d stacks)",
+        cfg.n_examples, cfg.vs, cfg.n_stacks,
+    )
+    examples = [
+        make_training_example(cfg, cfg.seed * 10_000 + i)
+        for i in range(cfg.n_examples)
+    ]
+
+    # the data dict mixes arrays with static fields (slice_shape,
+    # volume_shape, resolutions feed static shapes inside the model), so
+    # only the array leaves go through jit; statics close over from the
+    # shared config (identical across examples by construction)
+    static = {
+        k: examples[0]["data"][k]
+        for k in (
+            "psf_rec", "slice_shape", "resolution_slice", "resolution_recon",
+            "slice_thickness", "volume_shape",
+        )
+    }
+
+    def loss_fn(params, transforms, stacks, positions, theta_gt):
+        data = {
+            **static,
+            "transforms": transforms,
+            "stacks": stacks,
+            "positions": positions,
+        }
+        _, _, thetas = model(params, data)
+        return sum(jnp.mean((t - theta_gt) ** 2) for t in thetas) / len(thetas)
+
+    @jax.jit
+    def step(params, opt_state, transforms, stacks, positions, theta_gt):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, transforms, stacks, positions, theta_gt
+        )
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    history: Dict[str, List[float]] = {"loss": []}
+    t0 = time.time()
+    for i in range(cfg.steps):
+        ex = examples[i % len(examples)]
+        params, opt_state, loss = step(
+            params, opt_state,
+            ex["data"]["transforms"], ex["data"]["stacks"],
+            ex["data"]["positions"], ex["theta_gt"],
+        )
+        if (i + 1) % cfg.log_every == 0 or i == cfg.steps - 1:
+            loss = float(loss)
+            history["loss"].append(loss)
+            logging.info(
+                "svort train step %d/%d: loss %.4f (%.1f s)",
+                i + 1, cfg.steps, loss, time.time() - t0,
+            )
+    return model, params, history
