@@ -64,6 +64,11 @@ class SVoRTTrainConfig:
     motion_rot: float = 0.06  # per-slice rotation std (radians)
     motion_trans: float = 2.0  # per-slice translation std (mm)
     volume_shape: Tuple[int, int, int] = (96, 96, 96)  # PSF-recon working vol
+    # weight of the reconstructed-volume MSE term. The pose loss alone
+    # leaves the SRR/IQA transformer untrained (volumes are stop-gradiented
+    # where they feed later iterations, so only the volume loss reaches
+    # srrnet's score head). 0 disables (pose-only training).
+    volume_weight: float = 0.0
     seed: int = 0
     log_every: int = 50
 
@@ -178,7 +183,18 @@ def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
         "positions": positions,
     }
     theta_gt = mat2point(jnp.concatenate(mats_true, 0), ss, ss, cfg.res_s)
-    return {"data": data, "theta_gt": theta_gt}
+    # ground-truth volume in the PSF-recon working frame (centered, res_r):
+    # supervision target for the volume loss (srrnet training signal)
+    D, H, W = cfg.volume_shape
+    vol_gt = jnp.zeros(cfg.volume_shape, jnp.float32)
+    v = volume[0, 0]
+    z0 = (D - v.shape[0]) // 2
+    y0 = (H - v.shape[1]) // 2
+    x0 = (W - v.shape[2]) // 2
+    vol_gt = vol_gt.at[
+        z0 : z0 + v.shape[0], y0 : y0 + v.shape[1], x0 : x0 + v.shape[2]
+    ].set(v)
+    return {"data": data, "theta_gt": theta_gt, "vol_gt": vol_gt}
 
 
 def pose_error(theta_pred, theta_gt):
@@ -229,20 +245,25 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
         )
     }
 
-    def loss_fn(params, transforms, stacks, positions, theta_gt):
+    def loss_fn(params, transforms, stacks, positions, theta_gt, vol_gt):
         data = {
             **static,
             "transforms": transforms,
             "stacks": stacks,
             "positions": positions,
         }
-        _, _, thetas = model(params, data)
-        return sum(jnp.mean((t - theta_gt) ** 2) for t in thetas) / len(thetas)
+        _, volumes, thetas = model(params, data)
+        loss = sum(jnp.mean((t - theta_gt) ** 2) for t in thetas) / len(thetas)
+        if cfg.volume_weight:
+            loss = loss + cfg.volume_weight * jnp.mean(
+                (volumes[-1].reshape(vol_gt.shape) - vol_gt) ** 2
+            )
+        return loss
 
     @jax.jit
-    def step(params, opt_state, transforms, stacks, positions, theta_gt):
+    def step(params, opt_state, transforms, stacks, positions, theta_gt, vol_gt):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, transforms, stacks, positions, theta_gt
+            params, transforms, stacks, positions, theta_gt, vol_gt
         )
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
@@ -255,7 +276,7 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
         params, opt_state, loss = step(
             params, opt_state,
             ex["data"]["transforms"], ex["data"]["stacks"],
-            ex["data"]["positions"], ex["theta_gt"],
+            ex["data"]["positions"], ex["theta_gt"], ex["vol_gt"],
         )
         if (i + 1) % cfg.log_every == 0 or i == cfg.steps - 1:
             loss = float(loss)

@@ -1,0 +1,75 @@
+"""Train a SVoRT v1 checkpoint on synthetic motion and install it under
+nesvor_tpu/checkpoints/SVoRT_v1.npz (activates `--registration svort`).
+
+Usage: python scripts/train_svort_v1.py [steps] [n_examples] [vs]
+"""
+
+import logging
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    n_examples = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    vs = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+
+    from nesvor_tpu._precision import ensure_f32_matmul_semantics
+
+    ensure_f32_matmul_semantics()
+
+    from nesvor_tpu import __checkpoint_dir
+    from nesvor_tpu.svort.train import (
+        SVoRTTrainConfig,
+        make_training_example,
+        pose_error,
+        train_svort,
+    )
+    from nesvor_tpu.transform import mat2point
+
+    cfg = SVoRTTrainConfig(
+        version="v1", n_iter_model=3, steps=steps, lr=2e-4,
+        n_examples=n_examples, vs=vs, n_stacks=3, gap=3.0,
+        motion_rot=0.06, motion_trans=2.0,
+        volume_shape=(128, 128, 128), volume_weight=1.0,
+        seed=1, log_every=25,
+    )
+    t0 = time.time()
+    model, params, history = train_svort(cfg)
+    print(f"trained {steps} steps in {time.time()-t0:.0f} s; "
+          f"loss {history['loss'][0]:.3f} -> {history['loss'][-1]:.3f}",
+          flush=True)
+
+    # held-out pose-error eval
+    rots0, rots1, trs0, trs1 = [], [], [], []
+    for s in range(3):
+        ex = make_training_example(cfg, seed=777_000 + s)
+        _, _, thetas = model(params, ex["data"])
+        theta_init = mat2point(
+            ex["data"]["transforms"], ex["data"]["slice_shape"][1],
+            ex["data"]["slice_shape"][0], cfg.res_s,
+        )
+        r0, t0_ = pose_error(theta_init, ex["theta_gt"])
+        r1, t1_ = pose_error(thetas[-1], ex["theta_gt"])
+        rots0.append(r0); trs0.append(t0_); rots1.append(r1); trs1.append(t1_)
+    print(
+        f"held-out pose error: init {np.mean(rots0):.1f} mrad / "
+        f"{np.mean(trs0):.2f} mm -> trained {np.mean(rots1):.1f} mrad / "
+        f"{np.mean(trs1):.2f} mm", flush=True,
+    )
+
+    import os
+
+    os.makedirs(__checkpoint_dir, exist_ok=True)
+    out = os.path.join(__checkpoint_dir, "SVoRT_v1.npz")
+    np.savez(out, **{k: np.asarray(v) for k, v in params.items()})
+    print(f"saved {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
