@@ -198,7 +198,8 @@ class SRRtransformer:
     (reference models.py:216-266)."""
 
     def __init__(
-        self, n_res=34, n_layers=4, n_head=4, d_in=8, d_out=1, d_model=256, d_inner=512
+        self, n_res=34, n_layers=4, n_head=4, d_in=8, d_out=1, d_model=256,
+        d_inner=512, differentiable_srr=False,
     ):
         self.n_res = n_res
         self.n_layers = n_layers
@@ -207,7 +208,7 @@ class SRRtransformer:
         self.d_out = d_out
         self.d_model = d_model
         self.d_inner = d_inner
-        self.srr = SRR(n_iter=2, use_CG=True)
+        self.srr = SRR(n_iter=2, use_CG=True, differentiable=differentiable_srr)
 
     def init(self, params: Params, key, prefix: str) -> None:
         k1, k2, k3 = jax.random.split(key, 3)
@@ -251,11 +252,13 @@ class SVoRT:
 
     version = "v1"
 
-    def __init__(self, n_iter=3, iqa=True, vol=True, pe=True):
+    def __init__(self, n_iter=3, iqa=True, vol=True, pe=True,
+                 differentiable_srr=False):
         self.n_iter = n_iter
         self.vol = vol
         self.pe = pe
         self.iqa = iqa and vol
+        self.differentiable_srr = differentiable_srr
         self.attn = None
         self.iqa_score = None
         self.svrnet = [
@@ -275,6 +278,7 @@ class SVoRT:
             self.srrnet = SRRtransformer(
                 n_res=34, n_layers=4, n_head=4, d_in=8, d_out=1,
                 d_model=256, d_inner=512,
+                differentiable_srr=differentiable_srr,
             )
 
     def init(self, key) -> Params:
@@ -352,7 +356,8 @@ class SVoRTv2:
 
     version = "v2"
 
-    def __init__(self, n_iter=4, iqa=True, vol=True, pe=True):
+    def __init__(self, n_iter=4, iqa=True, vol=True, pe=True,
+                 differentiable_srr=False):
         self.n_iter = n_iter
         self.vol = vol
         self.pe = pe
@@ -368,7 +373,8 @@ class SVoRTv2:
             d_model=256 * 2, d_inner=512 * 2, n_channels=2,
         )
         if self.iqa:
-            self.srr = SRR(n_iter=2, use_CG=True)
+            self.srr = SRR(n_iter=2, use_CG=True,
+                           differentiable=differentiable_srr)
 
     def init(self, key) -> Params:
         params: Params = {}

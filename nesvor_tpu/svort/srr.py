@@ -68,6 +68,41 @@ def CG(A, b, x0, n_iter, tol=0.0):
     return jax.lax.while_loop(keep_going, step, init)[0]
 
 
+def CG_unrolled(A, b, x0, n_iter, tol=0.0):
+    """CG as a fixed-trip ``lax.scan`` with a convergence mask — the
+    reverse-differentiable form of ``CG`` (``lax.while_loop`` has no
+    reverse-mode rule). Used when gradients must flow through the solve,
+    e.g. SVoRT training with a volume loss (svort/train.py); the SVoRT
+    solves run 2-3 iterations, so unrolling is cheap and exact."""
+    if x0 is None:
+        x, r = jnp.zeros_like(b), b
+    else:
+        x, r = x0, b - A(x0)
+    rr0 = _vdot(r, r)
+
+    def step(state, _):
+        x, r, p, rr, stop = state
+        Ap = A(p)
+        pAp = _vdot(p, Ap)
+        ok = jnp.logical_and(pAp != 0, jnp.logical_not(stop))
+        alpha = jnp.where(ok, rr / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rr_next = jnp.where(ok, _vdot(r, r), rr)
+        beta = jnp.where(
+            jnp.logical_and(ok, rr != 0),
+            rr_next / jnp.where(rr != 0, rr, 1.0),
+            0.0,
+        )
+        p = jnp.where(ok, r + beta * p, p)
+        stop = jnp.logical_or(stop, jnp.logical_or(rr_next <= tol, pAp == 0))
+        return (x, r, p, rr_next, stop), None
+
+    init = (x, r, r, rr0, rr0 <= tol)
+    (x, *_), _ = jax.lax.scan(step, init, None, length=int(n_iter))
+    return x
+
+
 def make_system(transforms, params, vol_mask=None, slices_mask=None):
     """Forward/adjoint closures (A, At) of the PSF acquisition model for a
     fixed set of slice transforms (wraps ops/slice_acq; reference
@@ -146,6 +181,9 @@ class SRR:
     beta: float = 0.02
     delta: float = 0.1
     tol: float = 0.0
+    # unroll the CG solve (reverse-differentiable; needed when a training
+    # loss flows through the reconstructed volume — see CG_unrolled)
+    differentiable: bool = False
 
     def __call__(
         self,
@@ -176,7 +214,8 @@ class SRR:
         b = At(y if p is None else p * y)
         if mu and z is not None:
             b = b + mu * z
-        return CG(AtA, b, x0, self.n_iter, self.tol)
+        solver = CG_unrolled if self.differentiable else CG
+        return solver(AtA, b, x0, self.n_iter, self.tol)
 
     def _solve_gd(self, A, At, y, x, p):
         prior_w = self.beta * self.delta * self.delta

@@ -212,10 +212,15 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
     import optax
 
     if model is None:
+        # the volume loss differentiates through the SRR solve, so its CG
+        # must be the unrolled (scan) form
+        diff_srr = bool(cfg.volume_weight)
         if cfg.version == "v1":
-            model = SVoRT(n_iter=cfg.n_iter_model)
+            model = SVoRT(n_iter=cfg.n_iter_model, differentiable_srr=diff_srr)
         elif cfg.version == "v2":
-            model = SVoRTv2(n_iter=cfg.n_iter_model)
+            model = SVoRTv2(
+                n_iter=cfg.n_iter_model, differentiable_srr=diff_srr
+            )
         else:
             raise ValueError(cfg.version)
 

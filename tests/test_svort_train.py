@@ -52,3 +52,17 @@ def test_svort_training_reduces_loss_and_pose_error():
     rot1, trans1 = pose_error(thetas[-1], ex["theta_gt"])
     assert np.isfinite([rot1, trans1]).all()
     assert rot1 + trans1 < rot0 + trans0, (rot0, trans0, rot1, trans1)
+
+
+def test_svort_training_with_volume_loss_smoke():
+    """volume_weight > 0 must differentiate through the (unrolled) SRR CG
+    and produce finite losses for both model versions."""
+    for version in ("v1", "v2"):
+        cfg = _tiny_cfg(
+            version=version, steps=2, n_examples=1, vs=16, gap=4.0,
+            volume_shape=(32, 32, 32), volume_weight=1.0, log_every=1,
+        )
+        _, params, history = train_svort(cfg)
+        assert np.isfinite(history["loss"]).all(), (version, history)
+        for leaf in jax.tree_util.tree_leaves(params):
+            assert bool(np.isfinite(np.asarray(leaf)).all()), version
