@@ -102,7 +102,7 @@ def _stack_geometry(cfg: SVoRTTrainConfig, rng: np.random.Generator):
         [0, 0, 0], [np.pi / 2, 0, 0], [0, np.pi / 2, 0], [0, 0, np.pi / 2],
         [np.pi / 4, np.pi / 4, 0], [0, np.pi / 4, np.pi / 4],
     ]
-    ax_base, ax_true = [], []
+    ax_in, ax_true = [], []
     for i in range(cfg.n_stacks):
         angle = np.asarray(base_angles[i % len(base_angles)], np.float32)
         # small random stack-level orientation jitter so orientations vary
@@ -110,13 +110,18 @@ def _stack_geometry(cfg: SVoRTTrainConfig, rng: np.random.Generator):
         ax = np.tile(angle.astype(np.float32), (n_slice, 1))
         tz = (np.arange(n_slice, dtype=np.float32) - (n_slice - 1) / 2) * cfg.gap
         t = np.stack((np.zeros_like(tz), np.zeros_like(tz), tz), -1)
-        base = np.concatenate([ax, t], -1).astype(np.float32)
-        true = base.copy()
+        true = np.concatenate([ax, t], -1).astype(np.float32)
         true[:, :3] += rng.normal(0, cfg.motion_rot, (n_slice, 3))
         true[:, 3:] += rng.normal(0, cfg.motion_trans, (n_slice, 3))
-        ax_base.append(base)
+        # model INPUT matches inference's parse_data reset exactly
+        # (svort/inference.py:144-156): rotations and in-plane translations
+        # zeroed, tz = the scanner-nominal slice spacing, centered — the
+        # model must infer the true orientation from image content alone
+        reset = np.zeros_like(true)
+        reset[:, 5] = tz - tz.mean()
+        ax_in.append(reset)
         ax_true.append(true.astype(np.float32))
-    return ax_base, ax_true, n_slice, ss
+    return ax_in, ax_true, n_slice, ss
 
 
 def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
@@ -124,7 +129,7 @@ def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
     plus the ground-truth anchor-point targets ``theta_gt``."""
     rng = np.random.default_rng(seed)
     volume = synth_volume(rng, cfg.vs)[None, None]
-    ax_base, ax_true, n_slice, ss = _stack_geometry(cfg, rng)
+    ax_in, ax_true, n_slice, ss = _stack_geometry(cfg, rng)
     psf_acq = jnp.asarray(
         get_psf(
             res_ratio=(
@@ -135,14 +140,18 @@ def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
         )
     )
     stacks, mats_true = [], []
-    for base, true in zip(ax_base, ax_true):
+    for true in ax_true:
         t_true = RigidTransform(jnp.asarray(true), trans_first=True)
         mat = mat_update_resolution(t_true.matrix(), 1, cfg.res_r)
         s = slice_acquisition(
             mat, volume, None, None, psf_acq, (ss, ss),
             cfg.res_s / cfg.res_r, False, False,
         )
-        q99 = jnp.quantile(s, 0.99)
+        # q99 of NONZERO values — the exact normalization inference applies
+        # in parse_data (svort/inference.py:140-143); train/test input
+        # scales must match
+        pos = s[s > 0]
+        q99 = jnp.quantile(pos, 0.99) if pos.size else jnp.asarray(1.0)
         stacks.append(s / jnp.maximum(q99, 1e-6))
         mats_true.append(t_true.matrix())
 
@@ -168,8 +177,8 @@ def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
             )
         )
     )
-    mats_base = RigidTransform.cat(
-        [RigidTransform(jnp.asarray(b), trans_first=True) for b in ax_base]
+    mats_in = RigidTransform.cat(
+        [RigidTransform(jnp.asarray(b), trans_first=True) for b in ax_in]
     ).matrix()
     data = {
         "psf_rec": psf_rec,
@@ -178,7 +187,7 @@ def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
         "resolution_recon": cfg.res_r,
         "slice_thickness": cfg.gap,
         "volume_shape": cfg.volume_shape,
-        "transforms": mats_base,
+        "transforms": mats_in,
         "stacks": jnp.concatenate(stacks, axis=0),
         "positions": positions,
     }

