@@ -20,7 +20,9 @@ the model, matching reference models.py:102-107).
 Typical use::
 
     from nesvor_tpu.svort.train import SVoRTTrainConfig, train_svort
-    model, params, history = train_svort(SVoRTTrainConfig(steps=2000))
+    model, params, history = train_svort(
+        SVoRTTrainConfig(steps=2000, volume_weight=1.0)
+    )  # volume_weight > 0: the IQA/SRR score head trains only through it
     np.savez(".../SVoRT_v1.npz", **{k: np.asarray(v) for k, v in params.items()})
 
 The saved .npz is what ``svort_predict`` loads (same flat torch-named
@@ -52,7 +54,7 @@ from .models import SVoRT, SVoRTv2
 @dataclass(frozen=True)
 class SVoRTTrainConfig:
     version: str = "v1"
-    n_iter_model: int = 3  # reference: v1=3, v2=4
+    n_iter_model: int = 0  # 0 = the reference/inference count (v1=3, v2=4)
     steps: int = 1000
     lr: float = 1e-4
     n_examples: int = 16  # size of the pre-simulated example pool
@@ -139,7 +141,7 @@ def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
             )
         )
     )
-    stacks, mats_true = [], []
+    stacks, mats_true, q99s = [], [], []
     for true in ax_true:
         t_true = RigidTransform(jnp.asarray(true), trans_first=True)
         mat = mat_update_resolution(t_true.matrix(), 1, cfg.res_r)
@@ -152,7 +154,9 @@ def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
         # scales must match
         pos = s[s > 0]
         q99 = jnp.quantile(pos, 0.99) if pos.size else jnp.asarray(1.0)
-        stacks.append(s / jnp.maximum(q99, 1e-6))
+        q99 = jnp.maximum(q99, 1e-6)
+        q99s.append(q99)
+        stacks.append(s / q99)
         mats_true.append(t_true.matrix())
 
     positions = jnp.concatenate(
@@ -168,15 +172,9 @@ def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
         ],
         axis=0,
     )
-    psf_rec = jnp.asarray(
-        get_psf(
-            res_ratio=(
-                cfg.res_s / cfg.res_r,
-                cfg.res_s / cfg.res_r,
-                cfg.gap / cfg.res_r,
-            )
-        )
-    )
+    # acquisition and reconstruction deliberately share the PSF (same
+    # res/thickness ratios), exactly as in run_model
+    psf_rec = psf_acq
     mats_in = RigidTransform.cat(
         [RigidTransform(jnp.asarray(b), trans_first=True) for b in ax_in]
     ).matrix()
@@ -196,7 +194,10 @@ def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
     # supervision target for the volume loss (srrnet training signal)
     D, H, W = cfg.volume_shape
     vol_gt = jnp.zeros(cfg.volume_shape, jnp.float32)
-    v = volume[0, 0]
+    # match the reconstruction's intensity scale: the model rebuilds from
+    # q99-normalized stacks, so the target must carry the same scale or the
+    # MSE has an irreducible floor that biases the score-head gradients
+    v = volume[0, 0] / jnp.mean(jnp.stack(q99s))
     z0 = (D - v.shape[0]) // 2
     y0 = (H - v.shape[1]) // 2
     x0 = (W - v.shape[2]) // 2
@@ -220,18 +221,28 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
     """Returns (model, trained params, history dict of per-log losses)."""
     import optax
 
+    # the volume loss differentiates through the SRR solve, so its CG must
+    # be the unrolled (scan) form
+    diff_srr = bool(cfg.volume_weight)
     if model is None:
-        # the volume loss differentiates through the SRR solve, so its CG
-        # must be the unrolled (scan) form
-        diff_srr = bool(cfg.volume_weight)
+        n_it = cfg.n_iter_model or (3 if cfg.version == "v1" else 4)
         if cfg.version == "v1":
-            model = SVoRT(n_iter=cfg.n_iter_model, differentiable_srr=diff_srr)
+            model = SVoRT(n_iter=n_it, differentiable_srr=diff_srr)
         elif cfg.version == "v2":
-            model = SVoRTv2(
-                n_iter=cfg.n_iter_model, differentiable_srr=diff_srr
-            )
+            model = SVoRTv2(n_iter=n_it, differentiable_srr=diff_srr)
         else:
             raise ValueError(cfg.version)
+    elif diff_srr:
+        srrs = [
+            getattr(model, "srr", None),
+            getattr(getattr(model, "srrnet", None), "srr", None),
+        ]
+        if not any(s is not None and s.differentiable for s in srrs):
+            raise ValueError(
+                "volume_weight > 0 needs a model built with "
+                "differentiable_srr=True (lax.while_loop CG has no "
+                "reverse-mode rule)"
+            )
 
     key = jax.random.PRNGKey(cfg.seed)
     params = model.init(key)
