@@ -1,7 +1,7 @@
-"""Train a SVoRT v1 checkpoint on synthetic motion and install it under
-nesvor_tpu/checkpoints/SVoRT_v1.npz (activates `--registration svort`).
+"""Train a SVoRT checkpoint on synthetic motion and install it under
+nesvor_tpu/checkpoints/SVoRT_<version>.npz (activates `--registration svort`).
 
-Usage: python scripts/train_svort_v1.py [steps] [n_examples] [vs]
+Usage: python scripts/train_svort.py [steps] [n_examples] [vs] [version]
 """
 
 import logging
@@ -18,6 +18,7 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     n_examples = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     vs = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    version = sys.argv[4] if len(sys.argv) > 4 else "v1"
 
     from nesvor_tpu._precision import ensure_f32_matmul_semantics
 
@@ -33,7 +34,7 @@ def main():
     from nesvor_tpu.transform import mat2point
 
     cfg = SVoRTTrainConfig(
-        version="v1", n_iter_model=3, steps=steps, lr=2e-4,
+        version=version, n_iter_model=0, steps=steps, lr=2e-4,
         n_examples=n_examples, vs=vs, n_stacks=3, gap=3.0,
         motion_rot=0.06, motion_trans=2.0,
         volume_shape=(128, 128, 128), volume_weight=1.0,
@@ -66,7 +67,7 @@ def main():
     import os
 
     os.makedirs(__checkpoint_dir, exist_ok=True)
-    out = os.path.join(__checkpoint_dir, "SVoRT_v1.npz")
+    out = os.path.join(__checkpoint_dir, f"SVoRT_{version}.npz")
     np.savez(out, **{k: np.asarray(v) for k, v in params.items()})
     print(f"saved {out}", flush=True)
 
