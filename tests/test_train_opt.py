@@ -94,3 +94,47 @@ def test_fourier_basis_frozen():
         {k: v for k, v in p1["inr"].items() if "fourier_basis" in k}
     )
     assert b0 and all(bool(jnp.all(x == y)) for x, y in zip(b0, b1))
+
+
+@pytest.mark.parametrize("encoder", ["fourier", "cellhash", "hash"])
+def test_nesvor_loss_with_bias_head(encoder):
+    """nesvor_loss with n_levels_bias > 0 must run (and differentiate) for
+    every encoder — guards the bias_features layout contract end-to-end."""
+    from nesvor_tpu.nesvor.models import nesvor_loss
+
+    args = Namespace(
+        n_features_per_level=2, log2_hashmap_size=8, level_scale=1.3819,
+        coarsest_resolution=16.0, finest_resolution=4.0, n_levels_bias=2,
+        encoder=encoder, fourier_dirs=2, depth=1, width=16,
+        n_features_z=4, single_precision=True,
+    )
+    bbox = jnp.asarray([[-16.0, -16.0, -16.0], [16.0, 16.0, 16.0]])
+    inr_cfg = build_inr_config(np.asarray(bbox), args)
+    cfg = NeSVoRConfig(
+        inr=inr_cfg, n_slices=3, n_samples=4, n_features_slice=4,
+        n_levels_bias=2, head_width=8, head_depth=1,
+    )
+    key = jax.random.PRNGKey(0)
+    transformation = RigidTransform(jnp.zeros((3, 6), jnp.float32))
+    params, consts = init_nesvor(
+        key, cfg, transformation, jnp.ones((3, 3), jnp.float32), 1.0
+    )
+    batch = {
+        "xyz": jnp.asarray(
+            np.random.default_rng(0).uniform(-8, 8, (16, 3)), jnp.float32
+        ),
+        "v": jnp.ones((16,), jnp.float32),
+        "slice_idx": jnp.zeros((16,), jnp.int32),
+    }
+
+    def total(params):
+        losses = nesvor_loss(
+            params, consts, cfg, bbox, batch, jax.random.PRNGKey(1)
+        )
+        assert "biasReg" in losses
+        return sum(jnp.asarray(v) for v in losses.values())
+
+    val, grads = jax.value_and_grad(total)(params)
+    assert bool(jnp.isfinite(val))
+    for leaf in jax.tree.leaves(grads):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
