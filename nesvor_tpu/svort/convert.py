@@ -42,8 +42,18 @@ def convert_torch_checkpoint(path: str, version: str) -> Dict[str, jnp.ndarray]:
 
 
 def load_converted(path: str) -> Dict[str, jnp.ndarray]:
+    """Load a converted/trained .npz params dict. Checkpoints may be stored
+    f16 to halve their size (svort/train.py save_params); compute runs f32,
+    so upcast on load."""
     data = np.load(path)
-    return {k: jnp.asarray(data[k]) for k in data.files}
+    return {
+        k: jnp.asarray(
+            data[k].astype(np.float32)
+            if data[k].dtype == np.float16
+            else data[k]
+        )
+        for k in data.files
+    }
 
 
 if __name__ == "__main__":

@@ -73,6 +73,14 @@ class SVoRTTrainConfig:
     volume_weight: float = 0.0
     seed: int = 0
     log_every: int = 50
+    # long-run hygiene: save a f16 .npz of the params every ``save_every``
+    # steps (0 = only via the caller), and swap one pool example for a
+    # freshly simulated one every ``refresh_every`` steps (0 = fixed pool).
+    # Refreshing bounds memorization of a small pool without paying the
+    # per-step simulation cost of fully streamed data.
+    checkpoint_path: str = ""
+    save_every: int = 0
+    refresh_every: int = 0
 
 
 def synth_volume(rng: np.random.Generator, vs: int) -> jnp.ndarray:
@@ -296,6 +304,7 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
 
     history: Dict[str, List[float]] = {"loss": []}
     t0 = time.time()
+    n_fresh = 0
     for i in range(cfg.steps):
         ex = examples[i % len(examples)]
         params, opt_state, loss = step(
@@ -303,6 +312,12 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
             ex["data"]["transforms"], ex["data"]["stacks"],
             ex["data"]["positions"], ex["theta_gt"], ex["vol_gt"],
         )
+        if cfg.refresh_every and (i + 1) % cfg.refresh_every == 0:
+            slot = n_fresh % len(examples)
+            examples[slot] = make_training_example(
+                cfg, cfg.seed * 10_000 + cfg.n_examples + n_fresh
+            )
+            n_fresh += 1
         if (i + 1) % cfg.log_every == 0 or i == cfg.steps - 1:
             loss = float(loss)
             history["loss"].append(loss)
@@ -310,4 +325,25 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
                 "svort train step %d/%d: loss %.4f (%.1f s)",
                 i + 1, cfg.steps, loss, time.time() - t0,
             )
+        if (
+            cfg.checkpoint_path
+            and cfg.save_every
+            and ((i + 1) % cfg.save_every == 0 or i == cfg.steps - 1)
+        ):
+            save_params(cfg.checkpoint_path, params)
+            logging.info("saved %s at step %d", cfg.checkpoint_path, i + 1)
     return model, params, history
+
+
+def save_params(path: str, params: Dict) -> None:
+    """Persist a params dict as a .npz loadable by ``svort_predict``
+    (svort/convert.py load_converted). f16 storage: inference-quality
+    (activation-parity tests pass at well under f16 resolution) at half
+    the file size of f32 — these checkpoints are hundreds of MB."""
+    np.savez_compressed(
+        path,
+        **{
+            k: np.asarray(v).astype(np.float16)
+            for k, v in params.items()
+        },
+    )

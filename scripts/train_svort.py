@@ -24,21 +24,28 @@ def main():
 
     ensure_f32_matmul_semantics()
 
+    import os
+
     from nesvor_tpu import __checkpoint_dir
     from nesvor_tpu.svort.train import (
         SVoRTTrainConfig,
         make_training_example,
         pose_error,
+        save_params,
         train_svort,
     )
     from nesvor_tpu.transform import mat2point
 
+    os.makedirs(__checkpoint_dir, exist_ok=True)
+    out = os.path.join(__checkpoint_dir, f"SVoRT_{version}.npz")
     cfg = SVoRTTrainConfig(
         version=version, n_iter_model=0, steps=steps, lr=2e-4,
         n_examples=n_examples, vs=vs, n_stacks=3, gap=3.0,
         motion_rot=0.06, motion_trans=2.0,
         volume_shape=(128, 128, 128), volume_weight=1.0,
         seed=1, log_every=25,
+        checkpoint_path=out, save_every=max(100, steps // 20),
+        refresh_every=4,
     )
     t0 = time.time()
     model, params, history = train_svort(cfg)
@@ -64,11 +71,7 @@ def main():
         f"{np.mean(trs1):.2f} mm", flush=True,
     )
 
-    import os
-
-    os.makedirs(__checkpoint_dir, exist_ok=True)
-    out = os.path.join(__checkpoint_dir, f"SVoRT_{version}.npz")
-    np.savez(out, **{k: np.asarray(v) for k, v in params.items()})
+    save_params(out, params)
     print(f"saved {out}", flush=True)
 
 
