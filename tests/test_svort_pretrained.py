@@ -1,0 +1,66 @@
+"""Quality gate for shipped SVoRT checkpoints (nesvor_tpu/checkpoints/).
+
+The reference distributes pretrained Zenodo weights and ships no training
+code (reference nesvor/svort/inference.py:565-591); this repo trains its
+own checkpoints on synthetic motion (svort/train.py, scripts/train_svort.py).
+These tests run only when a checkpoint is installed — they gate any shipped
+weights on actually *reducing* pose error on held-out synthetic examples,
+i.e. the model must beat the motion-free initialization it receives.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from nesvor_tpu import __checkpoint_dir
+
+pytestmark = pytest.mark.slow
+
+
+def _checkpoint(version):
+    path = os.path.join(__checkpoint_dir, f"SVoRT_{version}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"no {version} checkpoint installed")
+    return path
+
+
+@pytest.mark.parametrize("version", ["v1", "v2"])
+def test_shipped_checkpoint_improves_heldout_pose(version):
+    path = _checkpoint(version)
+    from nesvor_tpu.svort.convert import load_converted
+    from nesvor_tpu.svort.inference import load_svort_model
+    from nesvor_tpu.svort.train import (
+        SVoRTTrainConfig,
+        make_training_example,
+        pose_error,
+    )
+    from nesvor_tpu.transform import mat2point
+
+    model, params = load_svort_model(version)
+    assert params is not None
+    # held-out examples from the training generator family (fresh seeds,
+    # unseen geometry) at the training scale
+    cfg = SVoRTTrainConfig(
+        version=version, vs=64, n_stacks=3, gap=3.0,
+        motion_rot=0.06, motion_trans=2.0, volume_shape=(128, 128, 128),
+    )
+    rots0, rots1, trs0, trs1 = [], [], [], []
+    for s in range(2):
+        ex = make_training_example(cfg, seed=999_000 + s)
+        _, _, thetas = model(params, ex["data"])
+        theta_init = mat2point(
+            ex["data"]["transforms"], ex["data"]["slice_shape"][1],
+            ex["data"]["slice_shape"][0], cfg.res_s,
+        )
+        r0, t0 = pose_error(theta_init, ex["theta_gt"])
+        r1, t1 = pose_error(thetas[-1], ex["theta_gt"])
+        rots0.append(r0)
+        trs0.append(t0)
+        rots1.append(r1)
+        trs1.append(t1)
+    # the shipped model must recover poses clearly better than the
+    # motion-free scanner-geometry initialization it is given
+    assert np.mean(rots1) < 0.8 * np.mean(rots0), (rots0, rots1)
+    assert np.mean(trs1) < 0.8 * np.mean(trs0), (trs0, trs1)
+    assert np.isfinite(rots1).all() and np.isfinite(trs1).all()
