@@ -65,6 +65,11 @@ class SVoRTTrainConfig:
     res_r: float = 1.0
     motion_rot: float = 0.06  # per-slice rotation std (radians)
     motion_trans: float = 2.0  # per-slice translation std (mm)
+    # relative spread of a per-example motion-magnitude factor drawn from
+    # U(1-j, 1+j): the model sees both near-still and strongly corrupted
+    # acquisitions instead of one fixed severity (shape-invariant, so it
+    # costs no recompiles)
+    motion_jitter: float = 0.0
     volume_shape: Tuple[int, int, int] = (96, 96, 96)  # PSF-recon working vol
     # weight of the reconstructed-volume MSE term. The pose loss alone
     # leaves the SRR/IQA transformer untrained (volumes are stop-gradiented
@@ -112,6 +117,8 @@ def _stack_geometry(cfg: SVoRTTrainConfig, rng: np.random.Generator):
         [0, 0, 0], [np.pi / 2, 0, 0], [0, np.pi / 2, 0], [0, 0, np.pi / 2],
         [np.pi / 4, np.pi / 4, 0], [0, np.pi / 4, np.pi / 4],
     ]
+    j = cfg.motion_jitter
+    sev = float(rng.uniform(1.0 - j, 1.0 + j)) if j else 1.0
     ax_in, ax_true = [], []
     for i in range(cfg.n_stacks):
         angle = np.asarray(base_angles[i % len(base_angles)], np.float32)
@@ -121,8 +128,8 @@ def _stack_geometry(cfg: SVoRTTrainConfig, rng: np.random.Generator):
         tz = (np.arange(n_slice, dtype=np.float32) - (n_slice - 1) / 2) * cfg.gap
         t = np.stack((np.zeros_like(tz), np.zeros_like(tz), tz), -1)
         true = np.concatenate([ax, t], -1).astype(np.float32)
-        true[:, :3] += rng.normal(0, cfg.motion_rot, (n_slice, 3))
-        true[:, 3:] += rng.normal(0, cfg.motion_trans, (n_slice, 3))
+        true[:, :3] += rng.normal(0, sev * cfg.motion_rot, (n_slice, 3))
+        true[:, 3:] += rng.normal(0, sev * cfg.motion_trans, (n_slice, 3))
         # model INPUT matches inference's parse_data reset exactly
         # (svort/inference.py:144-156): rotations and in-plane translations
         # zeroed, tz = the scanner-nominal slice spacing, centered — the

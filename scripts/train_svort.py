@@ -41,7 +41,7 @@ def main():
     cfg = SVoRTTrainConfig(
         version=version, n_iter_model=0, steps=steps, lr=2e-4,
         n_examples=n_examples, vs=vs, n_stacks=3, gap=3.0,
-        motion_rot=0.06, motion_trans=2.0,
+        motion_rot=0.06, motion_trans=2.0, motion_jitter=0.5,
         volume_shape=(128, 128, 128), volume_weight=1.0,
         seed=1, log_every=25,
         checkpoint_path=out, save_every=max(100, steps // 20),
