@@ -76,6 +76,9 @@ class SVoRTTrainConfig:
     # where they feed later iterations, so only the volume loss reaches
     # srrnet's score head). 0 disables (pose-only training).
     volume_weight: float = 0.0
+    # linear LR warmup from 0 over this many steps (0 = constant LR) —
+    # cheap stability insurance for a from-scratch transformer
+    warmup_steps: int = 0
     seed: int = 0
     log_every: int = 50
     # long-run hygiene: save a f16 .npz of the params every ``save_every``
@@ -261,7 +264,11 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
 
     key = jax.random.PRNGKey(cfg.seed)
     params = model.init(key)
-    tx = optax.adam(cfg.lr)
+    if cfg.warmup_steps:
+        lr = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    else:
+        lr = cfg.lr
+    tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     logging.info(

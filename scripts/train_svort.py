@@ -43,6 +43,7 @@ def main():
         n_examples=n_examples, vs=vs, n_stacks=3, gap=3.0,
         motion_rot=0.06, motion_trans=2.0, motion_jitter=0.5,
         volume_shape=(128, 128, 128), volume_weight=1.0,
+        warmup_steps=min(200, max(10, steps // 10)),
         seed=1, log_every=25,
         checkpoint_path=out, save_every=max(100, steps // 20),
         refresh_every=4,
