@@ -328,8 +328,11 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
         )
         if cfg.refresh_every and (i + 1) % cfg.refresh_every == 0:
             slot = n_fresh % len(examples)
+            # refresh seeds live in their own namespace, disjoint from both
+            # the initial pool (cfg.seed*10_000 + i) and any held-out eval
+            # seeds (e.g. 777_000+/999_000+ in scripts/tests)
             examples[slot] = make_training_example(
-                cfg, cfg.seed * 10_000 + cfg.n_examples + n_fresh
+                cfg, 1_000_000_000 + cfg.seed * 1_000_000 + n_fresh
             )
             n_fresh += 1
         if (i + 1) % cfg.log_every == 0 or i == cfg.steps - 1:
@@ -354,10 +357,16 @@ def save_params(path: str, params: Dict) -> None:
     (svort/convert.py load_converted). f16 storage: inference-quality
     (activation-parity tests pass at well under f16 resolution) at half
     the file size of f32 — these checkpoints are hundreds of MB."""
-    np.savez_compressed(
-        path,
-        **{
-            k: np.asarray(v).astype(np.float16)
-            for k, v in params.items()
-        },
-    )
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(
+            f,
+            **{
+                k: np.asarray(v).astype(np.float16)
+                for k, v in params.items()
+            },
+        )
+    # atomic install: a crash mid-write must not corrupt the live file
+    os.replace(tmp, path)

@@ -38,6 +38,11 @@ def main():
 
     os.makedirs(__checkpoint_dir, exist_ok=True)
     out = os.path.join(__checkpoint_dir, f"SVoRT_{version}.npz")
+    # mid-run saves go to a run-scoped path; the live checkpoint (what
+    # `--registration svort` loads) is only installed after the held-out
+    # eval below, so a fresh run never clobbers a good shipped model with
+    # half-trained weights
+    inprogress = os.path.join(__checkpoint_dir, f"SVoRT_{version}.training.npz")
     cfg = SVoRTTrainConfig(
         version=version, n_iter_model=0, steps=steps, lr=2e-4,
         n_examples=n_examples, vs=vs, n_stacks=3, gap=3.0,
@@ -45,7 +50,7 @@ def main():
         volume_shape=(128, 128, 128), volume_weight=1.0,
         warmup_steps=min(200, max(10, steps // 10)),
         seed=1, log_every=25,
-        checkpoint_path=out, save_every=max(100, steps // 20),
+        checkpoint_path=inprogress, save_every=max(100, steps // 20),
         refresh_every=4,
     )
     t0 = time.time()
@@ -73,6 +78,8 @@ def main():
     )
 
     save_params(out, params)
+    if os.path.exists(inprogress):
+        os.remove(inprogress)
     print(f"saved {out}", flush=True)
 
 

@@ -18,17 +18,15 @@ from nesvor_tpu import __checkpoint_dir
 pytestmark = pytest.mark.slow
 
 
-def _checkpoint(version):
+def _require_checkpoint(version):
     path = os.path.join(__checkpoint_dir, f"SVoRT_{version}.npz")
     if not os.path.exists(path):
         pytest.skip(f"no {version} checkpoint installed")
-    return path
 
 
 @pytest.mark.parametrize("version", ["v1", "v2"])
 def test_shipped_checkpoint_improves_heldout_pose(version):
-    path = _checkpoint(version)
-    from nesvor_tpu.svort.convert import load_converted
+    _require_checkpoint(version)
     from nesvor_tpu.svort.inference import load_svort_model
     from nesvor_tpu.svort.train import (
         SVoRTTrainConfig,
