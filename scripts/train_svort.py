@@ -77,10 +77,22 @@ def main():
         f"{np.mean(trs1):.2f} mm", flush=True,
     )
 
-    save_params(out, params)
-    if os.path.exists(inprogress):
-        os.remove(inprogress)
-    print(f"saved {out}", flush=True)
+    # install at the live path (what `--registration svort` loads) only if
+    # the trained model actually beats the motion-free initialization on
+    # held-out examples — same bar as tests/test_svort_pretrained.py
+    improved = np.mean(rots1) < 0.8 * np.mean(rots0) and np.mean(trs1) < 0.8 * np.mean(trs0)
+    if improved:
+        save_params(out, params)
+        if os.path.exists(inprogress):
+            os.remove(inprogress)
+        print(f"saved {out}", flush=True)
+    else:
+        ungated = out.replace(".npz", ".ungated.npz")
+        save_params(ungated, params)
+        print(
+            f"held-out gate NOT met; weights at {ungated} (not installed)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
