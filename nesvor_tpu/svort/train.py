@@ -89,6 +89,10 @@ class SVoRTTrainConfig:
     checkpoint_path: str = ""
     save_every: int = 0
     refresh_every: int = 0
+    # warm-start: load initial params from this .npz (a prior run's
+    # checkpoint) instead of random init. Optimizer state restarts —
+    # acceptable for continuing training across sessions.
+    init_params_path: str = ""
 
 
 def synth_volume(rng: np.random.Generator, vs: int) -> jnp.ndarray:
@@ -264,6 +268,25 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
 
     key = jax.random.PRNGKey(cfg.seed)
     params = model.init(key)
+    if cfg.init_params_path:
+        from .convert import load_converted
+
+        loaded = load_converted(cfg.init_params_path)
+        missing = set(params) - set(loaded)
+        extra = set(loaded) - set(params)
+        if missing or extra:
+            raise ValueError(
+                f"init params mismatch: missing {sorted(missing)[:3]}..., "
+                f"extra {sorted(extra)[:3]}..."
+            )
+        for k in params:
+            if loaded[k].shape != params[k].shape:
+                raise ValueError(
+                    f"shape mismatch for {k}: "
+                    f"{loaded[k].shape} vs {params[k].shape}"
+                )
+        params = {k: loaded[k] for k in params}
+        logging.info("warm-started params from %s", cfg.init_params_path)
     if cfg.warmup_steps:
         lr = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
     else:

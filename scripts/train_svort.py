@@ -1,7 +1,10 @@
 """Train a SVoRT checkpoint on synthetic motion and install it under
 nesvor_tpu/checkpoints/SVoRT_<version>.npz (activates `--registration svort`).
 
-Usage: python scripts/train_svort.py [steps] [n_examples] [vs] [version]
+Usage: python scripts/train_svort.py [steps] [n_examples] [vs] [version] [resume_path]
+
+With resume_path, training warm-starts from that .npz (e.g. a previous
+run's installed checkpoint or its .training.npz mid-run snapshot).
 """
 
 import logging
@@ -19,6 +22,7 @@ def main():
     n_examples = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     vs = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     version = sys.argv[4] if len(sys.argv) > 4 else "v1"
+    resume_path = sys.argv[5] if len(sys.argv) > 5 else ""
 
     from nesvor_tpu._precision import ensure_f32_matmul_semantics
 
@@ -51,7 +55,7 @@ def main():
         warmup_steps=min(200, max(10, steps // 10)),
         seed=1, log_every=25,
         checkpoint_path=inprogress, save_every=max(100, steps // 20),
-        refresh_every=4,
+        refresh_every=4, init_params_path=resume_path,
     )
     t0 = time.time()
     model, params, history = train_svort(cfg)
