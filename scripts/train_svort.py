@@ -20,9 +20,15 @@ def main():
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     n_examples = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    vs = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    vs = int(sys.argv[3]) if len(sys.argv) > 3 else 48
     version = sys.argv[4] if len(sys.argv) > 4 else "v1"
     resume_path = sys.argv[5] if len(sys.argv) > 5 else ""
+    # working volume: covers the sqrt(3)*vs*res FOV with margin, rounded to
+    # a 32-voxel bucket. One v5e (15.75 GB HBM) fits the differentiated
+    # train step up to vs=48/96^3; vs=64/128^3 needs ~21 GB even with the
+    # projector+ResNet remat (XLA's compressed-remat pass then inflates
+    # gather indices 128x; see WORKLOG round-2 session-4)
+    vol_vs = -(-int(np.sqrt(3) * vs + 12) // 32) * 32
 
     from nesvor_tpu._precision import ensure_f32_matmul_semantics
 
@@ -51,7 +57,7 @@ def main():
         version=version, n_iter_model=0, steps=steps, lr=2e-4,
         n_examples=n_examples, vs=vs, n_stacks=3, gap=3.0,
         motion_rot=0.06, motion_trans=2.0, motion_jitter=0.5,
-        volume_shape=(128, 128, 128), volume_weight=1.0,
+        volume_shape=(vol_vs, vol_vs, vol_vs), volume_weight=1.0,
         warmup_steps=min(200, max(10, steps // 10)),
         seed=1, log_every=25,
         checkpoint_path=inprogress, save_every=max(100, steps // 20),
