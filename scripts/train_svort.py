@@ -60,7 +60,7 @@ def main():
         volume_shape=(vol_vs, vol_vs, vol_vs), volume_weight=1.0,
         warmup_steps=min(200, max(10, steps // 10)),
         seed=1, log_every=25,
-        checkpoint_path=inprogress, save_every=max(100, steps // 20),
+        checkpoint_path=inprogress, save_every=max(25, steps // 20),
         refresh_every=4, init_params_path=resume_path,
     )
     t0 = time.time()
