@@ -34,26 +34,30 @@ def build_parser_training() -> argparse.ArgumentParser:
     _parser = argparse.ArgumentParser(add_help=False)
     parser = _parser.add_argument_group("model architecture")
     parser.add_argument(
-        "--encoder", default="cellhash", type=str,
+        "--encoder", default="fourier", type=str,
         choices=["cellhash", "hash", "fourier"],
-        help="INR encoding layout: 'cellhash' = fused cell-block grid "
-        "(TPU-fast, one 64B gather per point per level; default), 'hash' = "
-        "reference Instant-NGP vertex hash (exact tiny-cuda-nn semantics), "
-        "'fourier' = gather-free random Fourier features, one octave per "
-        "grid level (all-MXU; pair with a wider MLP, e.g. --width 256 "
-        "--depth 3).",
+        help="INR encoding layout: 'fourier' = gather-free random Fourier "
+        "features, one octave per grid level (all-MXU; the benchmarked "
+        "TPU flagship, default), 'cellhash' = fused cell-block grid "
+        "(one 64B gather per point per level), 'hash' = reference "
+        "Instant-NGP vertex hash (exact tiny-cuda-nn semantics). The grid "
+        "encoders are the reference-parity options; at equal wall-clock "
+        "fourier matches or beats them on quality (PERF.md).",
     )
     parser.add_argument(
         "--fourier-dirs", default=8, type=int,
         help="Random directions per frequency octave for --encoder fourier.",
     )
     parser.add_argument(
-        "--head-width", default=0, type=int,
-        help="Width of the sigma/bias head MLPs (0 = same as --width).",
+        "--head-width", default=64, type=int,
+        help="Width of the sigma/bias head MLPs (0 = same as --width; "
+        "default 64 = the reference's head sizing, decoupled from a wider "
+        "density net).",
     )
     parser.add_argument(
-        "--head-depth", default=0, type=int,
-        help="Depth of the sigma/bias head MLPs (0 = same as --depth).",
+        "--head-depth", default=1, type=int,
+        help="Depth of the sigma/bias head MLPs (0 = same as --depth; "
+        "default 1 = the reference's head sizing).",
     )
     parser.add_argument(
         "--n-features-per-level", default=2, type=int,
@@ -81,12 +85,16 @@ def build_parser_training() -> argparse.ArgumentParser:
         "head (0 disables bias-field estimation).",
     )
     parser.add_argument(
-        "--depth", default=1, type=int,
-        help="Hidden-layer count of the MLPs.",
+        "--depth", default=0, type=int,
+        help="Hidden-layer count of the density MLP. 0 = auto per encoder: "
+        "3 for fourier (the benchmarked flagship), 1 for the grid encoders "
+        "(reference sizing).",
     )
     parser.add_argument(
-        "--width", default=64, type=int,
-        help="Hidden-layer width of the MLPs.",
+        "--width", default=0, type=int,
+        help="Hidden-layer width of the density MLP. 0 = auto per encoder: "
+        "256 for fourier (the benchmarked flagship), 64 for the grid "
+        "encoders (reference sizing).",
     )
     parser.add_argument(
         "--n-features-z", default=15, type=int,
@@ -160,10 +168,18 @@ def build_parser_training() -> argparse.ArgumentParser:
         help="Training iterations.",
     )
     parser.add_argument(
-        "--var-warmup-iters", default=0, type=int,
+        "--no-gauge-anchor", action="store_true",
+        help="Disable the per-chunk pose gauge anchoring that removes the "
+        "mean SE(3) deviation-from-init (a coherent drift of all slices + "
+        "density that the data term cannot see but that rotates the output "
+        "volume against the scanner frame). Disabling reproduces the "
+        "reference's (unanchored) pose behavior.",
+    )
+    parser.add_argument(
+        "--var-warmup-iters", default=100, type=int,
         help="Hold the variance/bias heads at zero LR for this many "
         "iterations so the density net latches onto the signal before the "
-        "noise model starts down-weighting pixels. Recommended (~100) when "
+        "noise model starts down-weighting pixels. Needed (~100) when "
         "the heads are much smaller than the density net (--head-width), "
         "whose slower-adapting variance otherwise suppresses early density "
         "gradients. 0 = off (reference behavior).",

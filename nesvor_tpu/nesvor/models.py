@@ -152,8 +152,15 @@ def build_inr_config(bounding_box, args) -> INRConfig:
         )
     )
     compute_dtype = jnp.float32 if args.single_precision else jnp.bfloat16
+    encoder = getattr(args, "encoder", "fourier")
+    # width/depth 0 = encoder-appropriate auto sizing: the gather-free
+    # fourier flagship feeds a wider/deeper MXU-friendly density MLP
+    # (256x3, PERF.md round-2/3 studies), while the grid encoders keep the
+    # reference sizing (64x1, reference cli/main.py --width/--depth).
+    width = args.width or (256 if encoder == "fourier" else 64)
+    depth = args.depth or (3 if encoder == "fourier" else 1)
     return INRConfig(
-        encoder=getattr(args, "encoder", "cellhash"),
+        encoder=encoder,
         n_levels=n_levels,
         base_resolution=base_resolution,
         level_resolutions=compute_level_resolutions(
@@ -162,8 +169,8 @@ def build_inr_config(bounding_box, args) -> INRConfig:
         n_features_per_level=args.n_features_per_level,
         log2_hashmap_size=args.log2_hashmap_size,
         level_scale=args.level_scale,
-        width=args.width,
-        depth=args.depth,
+        width=width,
+        depth=depth,
         n_features_z=args.n_features_z,
         compute_dtype=compute_dtype,
         fourier_dirs=getattr(args, "fourier_dirs", 8),

@@ -402,6 +402,34 @@ def build_optimizer(params: Dict, cfg: NeSVoRConfig, args: Namespace):
     return tx, schedule
 
 
+def _project_gauge(axisangle, axisangle_init):
+    """Remove the mean SE(3) deviation-from-init — the pose gauge mode — from
+    the optimized poses.
+
+    Joint pose+INR optimization has a global SE(3) gauge freedom: all slices
+    can drift coherently (with the density field following) without changing
+    the data term, leaving the reconstruction rotated against the scanner
+    frame the user provided (measured: 47.85 mrad over 5000 iters in
+    BENCH_r02, costing ~9 dB of raw PSNR vs the gauge-fixed value). The
+    reference's transformation regularizer (nesvor/nesvor/models.py:357-363)
+    penalizes per-slice deviation too weakly to anchor this mode (0.1 ×
+    (0.048)² ≈ 2e-4 at the measured drift).
+
+    Applied once per dispatch chunk, the per-application correction is a few
+    mrad, so the instantaneous pose/density misalignment it introduces is
+    negligible and the density field stays anchored to the scanner frame.
+    Deviations are composed world-side (diff = opt ∘ init⁻¹, the same
+    convention bench.py uses to measure drift); the arithmetic mean of
+    axisangle deviations stands in for the Karcher mean, exact to second
+    order in the per-chunk increment.
+    """
+    x = RigidTransform(axisangle, trans_first=True)
+    y = RigidTransform(axisangle_init, trans_first=True)
+    diff_ax = x.compose(y.inv()).axisangle(trans_first=False)
+    g = RigidTransform(diff_ax.mean(0, keepdims=True), trans_first=False)
+    return g.inv().compose(x).axisangle(trans_first=True)
+
+
 def make_train_step(
     cfg: NeSVoRConfig,
     bounding_box: jnp.ndarray,
@@ -410,6 +438,7 @@ def make_train_step(
     batch_size: int,
     n_pixels: int,
     mesh=None,
+    gauge_anchor: bool = True,
 ):
     """Build the jitted chunked train step.
 
@@ -484,10 +513,19 @@ def make_train_step(
         names += [B_REG]
     names = sorted(names)
 
+    anchor_poses = gauge_anchor and not cfg.no_transformation_optimization
+
     @partial(jax.jit, static_argnames=("n_steps",))
     def run_chunk_jit(params, opt_state, consts, data, key, n_steps: int):
         keys = jax.random.split(key, n_steps)
         params, opt_state, losses = scan_chunk(params, opt_state, consts, data, keys)
+        if anchor_poses:
+            params = dict(
+                params,
+                axisangle=_project_gauge(
+                    params["axisangle"], consts["axisangle_init"]
+                ),
+            )
         assert sorted(losses) == names, (
             f"nesvor_loss emitted {sorted(losses)} but make_train_step "
             f"predicted {names}"
@@ -589,7 +627,9 @@ def train(
         logging.info("data-parallel training over %d devices", n_dp)
 
     run_chunk = make_train_step(
-        cfg, bounding_box, loss_weights, tx, args.batch_size, n_pixels, mesh=mesh
+        cfg, bounding_box, loss_weights, tx, args.batch_size, n_pixels,
+        mesh=mesh,
+        gauge_anchor=not getattr(args, "no_gauge_anchor", False),
     )
 
     # fixed-size dispatch chunks: LR milestones live inside the optax

@@ -38,6 +38,29 @@ from .registration import VVR, resample
 from .srr import SRR, PSFreconstruction
 
 
+# Pipeline working resolutions (reference :449-450): slices are resampled
+# to 1 mm in-plane; SRR working volumes are reconstructed at 0.8 mm.
+_RES_SLICE_MM = 1.0
+_RES_RECON_MM = 0.8
+
+# Classical VVR schedule used for stack-to-stack registration
+# (reference :320-330): 3-level coarse-to-fine pyramid, 4 step-halvings of
+# initial step size 2, ≤20 iterations per level, momentum-0.1 gradient
+# descent on global NCC with analytic (finite-difference) gradients.
+_VVR_SCHEDULE = dict(
+    num_levels=3,
+    num_steps=4,
+    step_size=2,
+    max_iter=20,
+    optimizer={"name": "gd", "momentum": 0.1},
+    auto_grad=False,
+)
+
+# Working volume for the quick stack-level SRR used only for scoring
+# (reference :394): generous fixed bound so any padded stack fits.
+_SRR_SCORING_VOLUME = (256, 256, 256)
+
+
 def compute_score(ncc, ncc_weight) -> float:
     ncc_weight = ncc_weight.reshape(ncc.shape)
     return -float((ncc * ncc_weight).sum() / ncc_weight.sum())
@@ -270,32 +293,32 @@ def stack_registration(transforms_list, transform_target, stacks, res_s, s_thick
     ts_in = [[t_mean(t) for t in transforms] for transforms in transforms_list]
     params = {"res_s": res_s, "s_thick": s_thick}
     vvr = VVR(
-        num_levels=3,
-        num_steps=4,
-        step_size=2,
-        max_iter=20,
-        optimizer={"name": "gd", "momentum": 0.1},
         loss=lambda s, x, y: ncc_loss(x[None], y[None], win=None, reduction="none"),
-        auto_grad=False,
+        **_VVR_SCHEDULE,
     )
     trans_first = False
-    ts_registered = [t_target]
-    for j in range(1, len(stacks)):
+
+    def register_to_target(j: int) -> RigidTransform:
+        """Register stack j's center slice to stack 0's, multi-init over the
+        candidate transform sets (each set proposes its own relative pose of
+        stack j w.r.t. the target); keep the lowest-NCC result."""
         source = stacks[j][:, 0][None, None]
         target = stacks[0][:, 0][None, None]
-        ncc_min = float("inf")
-        ax_out = None
-        for k in range(len(ts_in)):
-            ax = (
-                t_target.compose(ts_in[k][0].inv())
-                .compose(ts_in[k][j])
+        attempts = []
+        for cands in ts_in:
+            ax0 = (
+                t_target.compose(cands[0].inv())
+                .compose(cands[j])
                 .axisangle(trans_first=trans_first)
             )
-            ax, ncc = vvr(ax, source, target, params, t_target, trans_first)
-            ncc_val = float(ncc.reshape(-1)[0])
-            if ncc_val < ncc_min:
-                ncc_min, ax_out = ncc_val, ax
-        ts_registered.append(RigidTransform(ax_out, trans_first=trans_first))
+            ax, ncc = vvr(ax0, source, target, params, t_target, trans_first)
+            attempts.append((float(ncc.reshape(-1)[0]), ax))
+        best_ax = min(attempts, key=lambda a: a[0])[1]
+        return RigidTransform(best_ax, trans_first=trans_first)
+
+    ts_registered = [t_target] + [
+        register_to_target(j) for j in range(1, len(stacks))
+    ]
 
     t_center_ax = np.asarray(
         ts_registered[0].axisangle(trans_first=False)
@@ -316,157 +339,159 @@ def stack_registration(transforms_list, transform_target, stacks, res_s, s_thick
     return transforms_out
 
 
-def reconstruct_from_stacks(transforms, stacks, res_s, s_thick, res_r, n_stack_recon):
-    """Pad stacks, PSF reconstruct + 1-iteration CG SRR (reference :370-406)."""
-    size_max = max(max(s.shape[-2:]) for s in stacks)
-    stacks_pad = []
-    for s in stacks:
-        dx1 = (size_max - s.shape[-1]) // 2
-        dx2 = (size_max - s.shape[-1]) - dx1
-        dy1 = (size_max - s.shape[-2]) // 2
-        dy2 = (size_max - s.shape[-2]) - dy1
-        stacks_pad.append(jnp.pad(s, ((0, 0), (0, 0), (dy1, dy2), (dx1, dx2))))
-    params = {
+def _pad_square(stack: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Center-pad a (n, 1, h, w) stack to (n, 1, size, size)."""
+    pad_y = size - stack.shape[-2]
+    pad_x = size - stack.shape[-1]
+    return jnp.pad(
+        stack,
+        (
+            (0, 0), (0, 0),
+            (pad_y // 2, pad_y - pad_y // 2),
+            (pad_x // 2, pad_x - pad_x // 2),
+        ),
+    )
+
+
+def _projector_params(slice_shape, res_s, s_thick, res_r) -> dict:
+    """Slice-acquisition parameter dict shared by the scoring SRR paths
+    (reference :381-391): anisotropic PSF at the slice→volume resolution
+    ratio over the fixed scoring working volume."""
+    return {
         "psf": jnp.asarray(
             get_PSF(res_ratio=(res_s / res_r, res_s / res_r, s_thick / res_r))
         ),
-        "slice_shape": stacks_pad[0].shape[-2:],
+        "slice_shape": tuple(slice_shape),
         "interp_psf": False,
         "res_s": res_s,
         "res_r": res_r,
         "s_thick": s_thick,
-        "volume_shape": (256, 256, 256),
+        "volume_shape": _SRR_SCORING_VOLUME,
     }
+
+
+def reconstruct_from_stacks(transforms, stacks, res_s, s_thick, res_r, n_stack_recon):
+    """Pad stacks, PSF reconstruct + 1-iteration CG SRR (reference :370-406)."""
+    size_max = max(max(s.shape[-2:]) for s in stacks)
     if n_stack_recon is None:
-        n_stack_recon = len(stacks_pad)
-    mat = mat_update_resolution(
-        RigidTransform.cat([transforms[j] for j in range(n_stack_recon)]).matrix(),
-        1,
-        res_r,
+        n_stack_recon = len(stacks)
+    ss = jnp.concatenate(
+        [_pad_square(stacks[j], size_max) for j in range(n_stack_recon)]
     )
-    ss = jnp.concatenate([stacks_pad[j] for j in range(n_stack_recon)])
-    mask_ss = ss > 0
+    params = _projector_params(ss.shape[-2:], res_s, s_thick, res_r)
+    mat = mat_update_resolution(
+        RigidTransform.cat(list(transforms[:n_stack_recon])).matrix(), 1, res_r
+    )
     volume = PSFreconstruction(mat, ss, None, None, params)
     srr = SRR(n_iter=1, use_CG=True)
-    return srr(mat, ss, volume, params, slices_mask=mask_ss)
+    return srr(mat, ss, volume, params, slices_mask=ss > 0)
+
+
+def _svort_register(data, model, model_params, res_s, res_r):
+    """SVoRT branch of the pipeline: per-slice pose prediction (v1 runs on
+    stack triplets, v2 on all stacks at once), NCC-based per-slice fallback
+    to the mean stack pose, then mapping cropped poses back to the full
+    stacks. Returns (full-stack transforms, stack-level transforms, score)."""
+    from .models import run_model, run_model_all_stack
+
+    time_start = time.time()
+    predict = run_model if model.version == "v1" else run_model_all_stack
+    transforms_svort, volume_svort = predict(
+        data["transforms_cropped_reset"], data["stacks_cropped"],
+        model, model_params, res_s, data["s_thick"], res_r,
+    )
+    logging.debug("time for running SVoRT: %f s", time.time() - time_start)
+
+    transforms_corrected, score = correct_svort(
+        transforms_svort, data["transforms_cropped_reset"],
+        data["stacks_cropped"], volume_svort, res_s, data["s_thick"], res_r,
+    )
+    transforms_full, transforms_stack_full = get_transforms_full(
+        transforms_corrected, data["transforms_cropped_reset"],
+        data["transforms_ori_reset"], data["crop_idx"],
+    )
+    return transforms_full, transforms_stack_full, score
+
+
+def _vvr_register(data, transforms_stack_full, n_stack_recon, res_s, res_r):
+    """Classical branch: stack-to-stack VVR (multi-init with the SVoRT
+    stack-level result as an extra candidate when available), then — only
+    when there is a SVoRT score to compare against — a quick stack-level
+    SRR to score the VVR result on the same simulated-NCC scale. Returns
+    (per-stack transforms, score)."""
+    time_start = time.time()
+    candidate_sets = [data["transforms_ori"]]
+    if transforms_stack_full is not None:
+        candidate_sets.append(transforms_stack_full)
+        target = transforms_stack_full[0]
+    else:
+        target = data["transforms_ori"][0]
+    transforms_vvr = stack_registration(
+        candidate_sets, target, data["stacks_ori"], res_s, data["s_thick"]
+    )
+    logging.debug("time for stack registration: %f s", time.time() - time_start)
+
+    if transforms_stack_full is None:
+        # no SVoRT competitor: VVR wins by default, no need to score it
+        return transforms_vvr, float("inf")
+
+    volume_vvr = reconstruct_from_stacks(
+        transforms_vvr, data["stacks_ori"], res_s, data["s_thick"], res_r,
+        n_stack_recon,
+    )
+
+    def cropped(seq):
+        return [
+            x[jnp.asarray(np.nonzero(np.asarray(keep))[0])]
+            for x, keep in zip(seq, data["crop_idx"])
+        ]
+
+    score = compute_score(
+        *simulated_ncc(
+            cropped(transforms_vvr), cropped(data["stacks_ori"]),
+            volume_vvr, res_s, data["s_thick"], res_r,
+        )
+    )
+    return transforms_vvr, score
 
 
 def run_svort(dataset: List[Stack], model, model_params, svort, vvr, force_vvr):
     """Full registration pipeline + svort-vs-vvr scoring (reference :447-562)."""
-    res_s = 1.0
-    res_r = 0.8
+    res_s = _RES_SLICE_MM
+    res_r = _RES_RECON_MM
 
     if svort or vvr:
-        (
-            stacks_cropped,
-            stacks_ori,
-            transforms_cropped_reset,
-            transforms_ori_reset,
-            transforms_ori,
-            crop_idx,
-            s_thick,
-        ) = parse_data(dataset, res_s)
+        keys = (
+            "stacks_cropped", "stacks_ori", "transforms_cropped_reset",
+            "transforms_ori_reset", "transforms_ori", "crop_idx", "s_thick",
+        )
+        data = dict(zip(keys, parse_data(dataset, res_s)))
 
-    transforms_stack_full = None
+    transforms_svort_full = transforms_stack_full = None
+    score_svort = score_vvr = float("-inf")
     if svort:
-        from .models import run_model, run_model_all_stack
-
-        time_start = time.time()
-        if model.version == "v1":
-            transforms_svort, volume_svort = run_model(
-                transforms_cropped_reset,
-                stacks_cropped,
-                model,
-                model_params,
-                res_s,
-                s_thick,
-                res_r,
-            )
-        else:
-            transforms_svort, volume_svort = run_model_all_stack(
-                transforms_cropped_reset,
-                stacks_cropped,
-                model,
-                model_params,
-                res_s,
-                s_thick,
-                res_r,
-            )
-        logging.debug("time for running SVoRT: %f s", time.time() - time_start)
-
-        transforms_corrected, score_svort = correct_svort(
-            transforms_svort,
-            transforms_cropped_reset,
-            stacks_cropped,
-            volume_svort,
-            res_s,
-            s_thick,
-            res_r,
+        transforms_svort_full, transforms_stack_full, score_svort = (
+            _svort_register(data, model, model_params, res_s, res_r)
         )
-        transforms_svort_full, transforms_stack_full = get_transforms_full(
-            transforms_corrected,
-            transforms_cropped_reset,
-            transforms_ori_reset,
-            crop_idx,
-        )
-    else:
-        score_svort = float("-inf")
-
+        logging.info("similarity score for SVoRT = %f", score_svort)
     if vvr:
-        time_start = time.time()
-        transforms_vvr = stack_registration(
-            [transforms_ori, transforms_stack_full] if svort else [transforms_ori],
-            transforms_stack_full[0] if svort else transforms_ori[0],
-            stacks_ori,
-            res_s,
-            s_thick,
+        transforms_vvr, score_vvr = _vvr_register(
+            data, transforms_stack_full,
+            (3 if model.version == "v1" else None) if svort else None,
+            res_s, res_r,
         )
-        logging.debug("time for stack registration: %f s", time.time() - time_start)
-
-        if svort:
-            volume_vvr = reconstruct_from_stacks(
-                transforms_vvr,
-                stacks_ori,
-                res_s,
-                s_thick,
-                res_r,
-                3 if model.version == "v1" else None,
-            )
-            score_vvr = compute_score(
-                *simulated_ncc(
-                    [
-                        t[jnp.asarray(np.nonzero(np.asarray(i))[0])]
-                        for t, i in zip(transforms_vvr, crop_idx)
-                    ],
-                    [
-                        s[jnp.asarray(np.nonzero(np.asarray(i))[0])]
-                        for s, i in zip(stacks_ori, crop_idx)
-                    ],
-                    volume_vvr,
-                    res_s,
-                    s_thick,
-                    res_r,
-                )
-            )
-        else:
-            score_vvr = float("inf")
-    else:
-        score_vvr = float("-inf")
+        if np.isfinite(score_vvr):
+            logging.info("similarity score for stack registration = %f", score_vvr)
 
     if svort or vvr:
-        if score_svort > float("-inf"):
-            logging.info("similarity score for SVoRT = %f", score_svort)
-        if score_vvr > float("-inf"):
-            logging.info("similarity score for stack registration = %f", score_vvr)
         if score_svort < score_vvr or force_vvr:
             logging.info("use stack transformation")
             transforms_out = transforms_vvr
         else:
             logging.info("use slice transformation")
             transforms_out = transforms_svort_full
-
-        for j in range(len(dataset)):
-            dataset[j].transformation = transforms_out[j]
+        for stack, t in zip(dataset, transforms_out):
+            stack.transformation = t
 
     # final per-slice normalization -> Slice list (reference :555-562)
     slices: List[Slice] = []

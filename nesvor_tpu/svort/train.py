@@ -375,6 +375,102 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
     return model, params, history
 
 
+def gate_config(version: str = "v1", vs: int = 48) -> SVoRTTrainConfig:
+    """Canonical held-out gate config — the single source of truth for the
+    example distribution (motion_jitter, volume_shape, seeds live with the
+    callers) used by BOTH the end-of-training gate in scripts/train_svort.py
+    and the standalone snapshot gate in scripts/gate_svort.py. Any drift
+    between the two gates means a checkpoint could be installed against a
+    different (easier) bar — hence one constructor."""
+    vol_vs = -(-int(np.sqrt(3) * vs + 12) // 32) * 32
+    return SVoRTTrainConfig(
+        version=version, vs=vs, n_stacks=3, gap=3.0,
+        motion_rot=0.06, motion_trans=2.0, motion_jitter=0.5,
+        volume_shape=(vol_vs, vol_vs, vol_vs),
+    )
+
+
+def held_out_gate(
+    params: Dict,
+    version: str = "v1",
+    vs: int = 48,
+    model=None,
+    n_examples: int = 3,
+) -> Dict:
+    """Evaluate ``params`` on held-out synthetic-motion examples and decide
+    whether they clear the install bar used by tests/test_svort_pretrained.py:
+    mean rotation AND translation error must beat the motion-free
+    initialization by >20%.
+
+    The eval model is the inference form (differentiable_srr=False, i.e. the
+    while_loop CG) — what ``--registration svort`` actually runs. A model
+    trained with volume_weight>0 uses the unrolled CG during training; the two
+    solves agree to solver tolerance but are not bit-identical, so the gate
+    intentionally measures the deployed form.
+
+    Returns a dict with per-metric means and ``improved`` (the verdict).
+    """
+    from .models import SVoRT, SVoRTv2
+    from ..transform import mat2point
+
+    cfg = gate_config(version, vs)
+    if model is None:
+        model = SVoRT(n_iter=3) if version == "v1" else SVoRTv2(n_iter=4)
+    rots0, rots1, trs0, trs1 = [], [], [], []
+    for s in range(n_examples):
+        ex = make_training_example(cfg, seed=777_000 + s)
+        _, _, thetas = model(params, ex["data"])
+        theta_init = mat2point(
+            ex["data"]["transforms"], ex["data"]["slice_shape"][1],
+            ex["data"]["slice_shape"][0], cfg.res_s,
+        )
+        r0, t0 = pose_error(theta_init, ex["theta_gt"])
+        r1, t1 = pose_error(thetas[-1], ex["theta_gt"])
+        rots0.append(r0); trs0.append(t0); rots1.append(r1); trs1.append(t1)
+        logging.info(
+            "held-out %d: init %.1f mrad / %.2f mm -> trained %.1f mrad / %.2f mm",
+            s, r0, t0, r1, t1,
+        )
+    res = {
+        "rot_init_mrad": float(np.mean(rots0)),
+        "trans_init_mm": float(np.mean(trs0)),
+        "rot_mrad": float(np.mean(rots1)),
+        "trans_mm": float(np.mean(trs1)),
+    }
+    res["improved"] = bool(
+        res["rot_mrad"] < 0.8 * res["rot_init_mrad"]
+        and res["trans_mm"] < 0.8 * res["trans_init_mm"]
+    )
+    return res
+
+
+def gate_and_install(params: Dict, version: str = "v1", vs: int = 48) -> Dict:
+    """Run ``held_out_gate`` and install the weights at the live checkpoint
+    path (what ``--registration svort`` loads) only on a pass; otherwise save
+    them next to it as .ungated.npz. Returns the gate result dict plus the
+    ``path`` written."""
+    import os
+
+    from .. import __checkpoint_dir
+
+    res = held_out_gate(params, version, vs)
+    out = os.path.join(__checkpoint_dir, f"SVoRT_{version}.npz")
+    print(
+        f"held-out pose error: init {res['rot_init_mrad']:.1f} mrad / "
+        f"{res['trans_init_mm']:.2f} mm -> trained {res['rot_mrad']:.1f} mrad"
+        f" / {res['trans_mm']:.2f} mm", flush=True,
+    )
+    if res["improved"]:
+        save_params(out, params)
+        print(f"saved {out}", flush=True)
+    else:
+        out = out.replace(".npz", ".ungated.npz")
+        save_params(out, params)
+        print(f"held-out gate NOT met; weights at {out} (not installed)", flush=True)
+    res["path"] = out
+    return res
+
+
 def save_params(path: str, params: Dict) -> None:
     """Persist a params dict as a .npz loadable by ``svort_predict``
     (svort/convert.py load_converted). f16 storage: inference-quality

@@ -39,15 +39,11 @@ def main():
     from nesvor_tpu import __checkpoint_dir
     from nesvor_tpu.svort.train import (
         SVoRTTrainConfig,
-        make_training_example,
-        pose_error,
-        save_params,
+        gate_and_install,
         train_svort,
     )
-    from nesvor_tpu.transform import mat2point
 
     os.makedirs(__checkpoint_dir, exist_ok=True)
-    out = os.path.join(__checkpoint_dir, f"SVoRT_{version}.npz")
     # mid-run saves go to a run-scoped path; the live checkpoint (what
     # `--registration svort` loads) is only installed after the held-out
     # eval below, so a fresh run never clobbers a good shipped model with
@@ -69,40 +65,14 @@ def main():
           f"loss {history['loss'][0]:.3f} -> {history['loss'][-1]:.3f}",
           flush=True)
 
-    # held-out pose-error eval
-    rots0, rots1, trs0, trs1 = [], [], [], []
-    for s in range(3):
-        ex = make_training_example(cfg, seed=777_000 + s)
-        _, _, thetas = model(params, ex["data"])
-        theta_init = mat2point(
-            ex["data"]["transforms"], ex["data"]["slice_shape"][1],
-            ex["data"]["slice_shape"][0], cfg.res_s,
-        )
-        r0, t0_ = pose_error(theta_init, ex["theta_gt"])
-        r1, t1_ = pose_error(thetas[-1], ex["theta_gt"])
-        rots0.append(r0); trs0.append(t0_); rots1.append(r1); trs1.append(t1_)
-    print(
-        f"held-out pose error: init {np.mean(rots0):.1f} mrad / "
-        f"{np.mean(trs0):.2f} mm -> trained {np.mean(rots1):.1f} mrad / "
-        f"{np.mean(trs1):.2f} mm", flush=True,
-    )
-
-    # install at the live path (what `--registration svort` loads) only if
-    # the trained model actually beats the motion-free initialization on
-    # held-out examples — same bar as tests/test_svort_pretrained.py
-    improved = np.mean(rots1) < 0.8 * np.mean(rots0) and np.mean(trs1) < 0.8 * np.mean(trs0)
-    if improved:
-        save_params(out, params)
-        if os.path.exists(inprogress):
-            os.remove(inprogress)
-        print(f"saved {out}", flush=True)
-    else:
-        ungated = out.replace(".npz", ".ungated.npz")
-        save_params(ungated, params)
-        print(
-            f"held-out gate NOT met; weights at {ungated} (not installed)",
-            flush=True,
-        )
+    # held-out pose-error eval + install decision: the single shared gate
+    # (nesvor_tpu.svort.train.gate_and_install) — same config, seeds, and
+    # >20% bar as scripts/gate_svort.py and tests/test_svort_pretrained.py.
+    # Evaluates the inference (while_loop CG) model form, not the
+    # differentiable-SRR training form.
+    res = gate_and_install(params, version, vs)
+    if res["improved"] and os.path.exists(inprogress):
+        os.remove(inprogress)
 
 
 if __name__ == "__main__":
