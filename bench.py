@@ -103,6 +103,9 @@ def main():
     t1 = time.time()
     vol = sample_volume(model, mask, args)
     sample_s = time.time() - t1
+    from nesvor_tpu.nesvor.sample import LAST_SAMPLE_STATS
+
+    SAMPLE_STATS = dict(LAST_SAMPLE_STATS)
 
     # PSNR on the phantom grid: evaluate INR at ground-truth voxel centers,
     # without the output-PSF blur (the phantom is already band-limited by
@@ -175,6 +178,7 @@ def main():
         "pose_drift_rot_mrad": round(float(np.linalg.norm(mean_r)) * 1e3, 2),
         "pose_drift_trans_mm": round(float(np.linalg.norm(mean_t)), 3),
         "sample_volume_s": round(sample_s, 2),
+        "sample_breakdown": SAMPLE_STATS,
         "iters_per_s": round(n_iter / train_s, 2),
         "steady_ms_per_step": round(steady_ms, 1),
         "compile_and_setup_s": round(fixed_overhead_s, 1),

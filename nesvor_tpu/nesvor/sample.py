@@ -157,6 +157,12 @@ def sample_points(model: INRModel, xyz: jnp.ndarray, args: Namespace) -> jnp.nda
     return jnp.asarray(out.reshape(shape))
 
 
+# per-phase wall times of the most recent sample_volume call, for bench
+# telemetry (mirrors train.LAST_RUN_STATS): resample_s / xyz_s / eval_s /
+# fill_s / n_voxels
+LAST_SAMPLE_STATS: dict = {}
+
+
 def sample_volume(model: INRModel, mask: Volume, args: Namespace) -> Volume:
     """Resample the mask to the output resolution and fill masked voxels from
     the INR (reference sample.py:10-14)."""
@@ -177,10 +183,14 @@ def sample_volume(model: INRModel, mask: Volume, args: Namespace) -> Volume:
     flat = np.zeros(img.image.size, dtype=np.float32)
     flat[np.asarray(img.mask).reshape(-1)] = np.asarray(values)
     img.image = jnp.asarray(flat.reshape(img.image.shape))
-    logging.debug(
-        "sample_volume: resample %.1f s, xyz_masked %.1f s, %d voxels eval %.1f s, fill %.1f s",
-        t05 - t0, t1 - t05, int(xyz.shape[0]), t2 - t1, time.time() - t2,
+    t3 = time.time()
+    LAST_SAMPLE_STATS.clear()
+    LAST_SAMPLE_STATS.update(
+        resample_s=round(t05 - t0, 2), xyz_s=round(t1 - t05, 2),
+        eval_s=round(t2 - t1, 2), fill_s=round(t3 - t2, 2),
+        n_voxels=int(xyz.shape[0]),
     )
+    logging.debug("sample_volume: %s", LAST_SAMPLE_STATS)
     return img
 
 

@@ -138,3 +138,54 @@ def test_nesvor_loss_with_bias_head(encoder):
     assert bool(jnp.isfinite(val))
     for leaf in jax.tree.leaves(grads):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_project_gauge_removes_coherent_drift():
+    """_project_gauge must remove a coherent SE(3) drift applied on top of
+    genuine per-slice deviations (the gauge mode), while preserving the
+    relative poses between slices exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from nesvor_tpu.nesvor.train import _project_gauge
+    from nesvor_tpu.transform import RigidTransform
+
+    rng = np.random.default_rng(3)
+    n = 24
+    ax_init = np.concatenate(
+        [rng.normal(0, 0.05, (n, 3)), rng.normal(0, 3.0, (n, 3))], -1
+    ).astype(np.float32)
+    # small zero-mean per-slice deviations + one large coherent drift
+    dev = np.concatenate(
+        [rng.normal(0, 0.005, (n, 3)), rng.normal(0, 0.1, (n, 3))], -1
+    ).astype(np.float32)
+    dev -= dev.mean(0, keepdims=True)
+    drift = RigidTransform(
+        jnp.asarray([[0.05, -0.03, 0.02, 1.5, -0.7, 0.9]], jnp.float32),
+        trans_first=False,
+    )
+    t_init = RigidTransform(jnp.asarray(ax_init), trans_first=True)
+    t_dev = RigidTransform(jnp.asarray(ax_init + dev), trans_first=True)
+    t_drifted = drift.compose(t_dev)
+
+    ax_proj = _project_gauge(
+        t_drifted.axisangle(trans_first=True), jnp.asarray(ax_init)
+    )
+    t_proj = RigidTransform(ax_proj, trans_first=True)
+
+    # 1. relative poses preserved exactly (projection is a global motion)
+    rel_before = t_drifted[0:1].inv().compose(t_drifted).axisangle()
+    rel_after = t_proj[0:1].inv().compose(t_proj).axisangle()
+    np.testing.assert_allclose(
+        np.asarray(rel_before), np.asarray(rel_after), atol=2e-5
+    )
+
+    # 2. the residual mean deviation-from-init is near zero (drift removed;
+    # small-angle mean leaves only a second-order residual)
+    resid = t_proj.compose(t_init.inv()).axisangle(trans_first=False)
+    resid = np.asarray(resid)
+    assert np.linalg.norm(resid[:, :3].mean(0)) < 2e-3, resid[:, :3].mean(0)
+    assert np.linalg.norm(resid[:, 3:].mean(0)) < 5e-2, resid[:, 3:].mean(0)
+    # 3. and the drift really was large before
+    before = np.asarray(t_drifted.compose(t_init.inv()).axisangle(trans_first=False))
+    assert np.linalg.norm(before[:, :3].mean(0)) > 0.05
