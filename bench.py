@@ -167,11 +167,20 @@ def main():
     steady_ms = LAST_RUN_STATS.get("steady_ms_per_step", train_s / n_iter * 1e3)
     fixed_overhead_s = max(0.0, train_s - n_iter * steady_ms / 1e3)
     extrapolated_5000 = 5000 * steady_ms / 1e3 + fixed_overhead_s
+    # headline = END-TO-END reconstruct (train + volume sampling), not
+    # training alone (VERDICT r02 weak-#1); vs_baseline extrapolates the
+    # steady step rate to the 5000-iter north star and includes sampling
     result = {
-        "metric": f"phantom 8-stack reconstruct wall-clock ({n_iter} iters, {encoder})",
-        "value": round(train_s, 2),
+        "metric": (
+            f"phantom 8-stack reconstruct train+sample wall-clock "
+            f"({n_iter} iters, {encoder})"
+        ),
+        "value": round(train_s + sample_s, 2),
         "unit": "s",
-        "vs_baseline": round(NOMINAL_A100_WALL_S / extrapolated_5000, 3),
+        "vs_baseline": round(
+            NOMINAL_A100_WALL_S / (extrapolated_5000 + sample_s), 3
+        ),
+        "train_s": round(train_s, 2),
         "psnr_db": round(p, 2),
         "psnr_raw_db": round(p_raw, 2),
         "psnr_gauge_fixed_db": round(p_fixed, 2),
