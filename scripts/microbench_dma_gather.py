@@ -59,46 +59,60 @@ def main():
         )
         return run_s
 
-    def dma_gather(table, idx, block, depth):
+    def dma_gather(idx, table, block, depth):
+        # Toolchain constraints found while getting this to compile at all
+        # (each violation = remote Mosaic compile-helper HTTP 500):
+        #  - semaphore indices must be STATIC (ring via unrolled depth chunk)
+        #  - scalar-prefetch idx arrays must fit SMEM (~1 MB): idx stays in
+        #    HBM and each program DMAs its own B-index block into SMEM
+        #  - DMA-sliced rows need 128-multiple lane extents: C=16 (64 B
+        #    rows, the hash-encoder case) does not compile, only C>=128
         B = block
         C = table.shape[1]
 
-        def kern(idx_ref, table_ref, out_ref, sems):
+        def kern(idx_hbm, table_ref, out_ref, idx_smem, sems, isem):
             base = pl.program_id(0) * B
+            icp = pltpu.make_async_copy(
+                idx_hbm.at[pl.ds(base, B)], idx_smem, isem
+            )
+            icp.start()
+            icp.wait()
 
-            def copy(k):
+            def copy(k, j):
                 return pltpu.make_async_copy(
-                    table_ref.at[pl.ds(idx_ref[base + k], 1), :],
+                    table_ref.at[pl.ds(idx_smem[k], 1), :],
                     out_ref.at[pl.ds(k, 1), :],
-                    sems.at[k % depth],
+                    sems.at[j],
                 )
 
-            def body(k, _):
-                @pl.when(k >= depth)
-                def _():
-                    copy(k - depth).wait()
+            def body(c, _):
+                k0 = c * depth
+                for j in range(depth):
 
-                copy(k).start()
+                    @pl.when(c > 0)
+                    def _(j=j):
+                        copy(k0 - depth + j, j).wait()
+
+                    copy(k0 + j, j).start()
                 return ()
 
-            jax.lax.fori_loop(0, B, body, (), unroll=False)
+            jax.lax.fori_loop(0, B // depth, body, (), unroll=False)
+            for j in range(depth):
+                copy(B - depth + j, j).wait()
 
-            def tail(j, _):
-                copy(B - depth + j).wait()
-                return ()
-
-            jax.lax.fori_loop(0, depth, tail, (), unroll=False)
-
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(N // B,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec((B, C), lambda i, *_: (i, 0)),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
-        )
         return pl.pallas_call(
             kern,
-            grid_spec=grid_spec,
+            grid=(N // B,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((B, C), lambda i: (i, 0)),
+            scratch_shapes=[
+                pltpu.SMEM((B,), jnp.int32),
+                pltpu.SemaphoreType.DMA((depth,)),
+                pltpu.SemaphoreType.DMA,
+            ],
             out_shape=jax.ShapeDtypeStruct((N, C), table.dtype),
         )(idx, table)
 
@@ -119,9 +133,9 @@ def main():
                 fn = jax.jit(
                     functools.partial(dma_gather, block=1024, depth=depth)
                 )
-                timeit(fn, table, idx, label=f"pallas ring-DMA C={C} depth={depth}")
+                timeit(fn, idx, table, label=f"pallas ring-DMA C={C} depth={depth}")
                 # correctness spot check
-                out = np.asarray(fn(table, idx)[:64])
+                out = np.asarray(fn(idx, table)[:64])
                 ref = np.asarray(table)[np.asarray(idx[:64])]
                 assert np.array_equal(out, ref), "MISMATCH"
             except Exception as e:  # record Mosaic rejections as data
