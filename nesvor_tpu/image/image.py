@@ -91,10 +91,18 @@ class Image:
 
     @property
     def xyz_masked(self) -> jnp.ndarray:
-        return transform_points(self.transformation, self.xyz_masked_untransformed)
+        # fully host-side: the masked-coordinate count is data-dependent,
+        # so a device transform_points on the (n_masked, 3) array would
+        # compile a fresh program per distinct mask count — ~60 s through
+        # the remote compile service on EVERY reconstruct, since optimized
+        # poses shift the count each run (bench r03: xyz phase 62.8 s vs
+        # 0.1 s host). The 3x4 matrix-apply is numpy-cheap.
+        mat = np.asarray(self.transformation.matrix(trans_first=False))
+        mat = mat.reshape(-1, 3, 4)[0]
+        xyz = self._xyz_masked_untransformed_np()
+        return jnp.asarray(xyz @ mat[:, :3].T + mat[:, 3])
 
-    @property
-    def xyz_masked_untransformed(self) -> jnp.ndarray:
+    def _xyz_masked_untransformed_np(self) -> np.ndarray:
         # host-side nonzero: the device op has a data-dependent output
         # shape, so it both forces a host sync AND compiles a fresh program
         # per distinct mask count (measured 58.6 s for one 2M-voxel mask
@@ -102,8 +110,15 @@ class Image:
         mask_np = np.asarray(self.mask)
         kji = np.stack(np.nonzero(mask_np), -1)[:, ::-1].astype(np.float32)
         shape_xyz = np.asarray(self.image.shape[::-1], dtype=np.float32)
-        res = np.asarray(self.resolution_xyz)
-        return jnp.asarray((kji - (shape_xyz - 1) / 2) * res)
+        res = np.array(
+            [self.resolution_x, self.resolution_y, self.resolution_z],
+            dtype=np.float32,
+        )
+        return (kji - (shape_xyz - 1) / 2) * res
+
+    @property
+    def xyz_masked_untransformed(self) -> jnp.ndarray:
+        return jnp.asarray(self._xyz_masked_untransformed_np())
 
     @property
     def v_masked(self) -> jnp.ndarray:

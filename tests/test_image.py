@@ -106,3 +106,23 @@ def test_nifti_header_fields(tmp_path):
     from nesvor_tpu.image.nifti import _qform_affine
 
     assert_close(_qform_affine(hdr), affine, atol=1e-4, rtol=1e-4)
+
+
+def test_xyz_masked_host_path_matches_device_transform():
+    """xyz_masked is computed fully host-side (per-mask-count device
+    programs cost a fresh remote compile each reconstruct); it must equal
+    the straightforward device transform_points formulation."""
+    from nesvor_tpu.transform import transform_points
+
+    rng = np.random.default_rng(0)
+    for i, (ax, _) in enumerate(get_transform_test_data()[:4]):
+        t = RigidTransform(jnp.asarray(ax[:1]), trans_first=i % 2 == 1)
+        img = jnp.asarray(rng.normal(size=(9, 11, 13)).astype(np.float32))
+        mask = jnp.asarray(rng.random((9, 11, 13)) > 0.5)
+        vol = Volume(img, mask, t, 0.7, 0.9, 1.1)
+        got = np.asarray(vol.xyz_masked)
+        want = np.asarray(
+            transform_points(t, vol.xyz_masked_untransformed)
+        )
+        assert got.shape == want.shape == (int(np.asarray(mask).sum()), 3)
+        assert_close(got, want, atol=1e-4, rtol=1e-4)
