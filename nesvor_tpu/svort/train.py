@@ -444,11 +444,50 @@ def held_out_gate(
     return res
 
 
+def gate_score(res: Dict) -> float:
+    """Scalar quality of a held-out gate result: geometric mean of the
+    rotation- and translation-error ratios vs the motion-free init (lower is
+    better; 1.0 = no improvement). Used to compare a candidate against the
+    incumbent installed checkpoint — both evaluated on the same held-out
+    seeds, so the ratio comparison is apples-to-apples."""
+    r = res["rot_mrad"] / max(res["rot_init_mrad"], 1e-9)
+    t = res["trans_mm"] / max(res["trans_init_mm"], 1e-9)
+    return float(np.sqrt(max(r, 1e-12) * max(t, 1e-12)))
+
+
+def _incumbent_gate(out: str, version: str, vs: int) -> Dict:
+    """Held-out gate result of the currently installed checkpoint at ``out``.
+    Reads the ``.gate.json`` metadata written at install time when it matches
+    this gate's config; otherwise re-evaluates the incumbent live (same
+    compiled program as the candidate eval that just ran, so no recompile)."""
+    import json
+    import os
+
+    meta = out + ".gate.json"
+    if os.path.exists(meta):
+        try:
+            with open(meta) as f:
+                rec = json.load(f)
+            if rec.get("version") == version and rec.get("vs") == vs:
+                return rec["result"]
+        except (KeyError, ValueError):
+            pass
+    from .convert import load_converted
+
+    logging.info("re-evaluating incumbent %s on the held-out gate", out)
+    return held_out_gate(load_converted(out), version, vs)
+
+
 def gate_and_install(params: Dict, version: str = "v1", vs: int = 48) -> Dict:
     """Run ``held_out_gate`` and install the weights at the live checkpoint
     path (what ``--registration svort`` loads) only on a pass; otherwise save
-    them next to it as .ungated.npz. Returns the gate result dict plus the
-    ``path`` written."""
+    them next to it as .ungated.npz. When a live checkpoint already exists,
+    the candidate must also BEAT the incumbent's held-out ``gate_score`` —
+    passing the >20% bar alone must never replace a better shipped model with
+    a worse one (continuation runs restart the optimizer and can regress).
+    A passing-but-not-better candidate is kept as .candidate.npz. Returns the
+    gate result dict plus the ``path`` written."""
+    import json
     import os
 
     from .. import __checkpoint_dir
@@ -458,15 +497,29 @@ def gate_and_install(params: Dict, version: str = "v1", vs: int = 48) -> Dict:
     print(
         f"held-out pose error: init {res['rot_init_mrad']:.1f} mrad / "
         f"{res['trans_init_mm']:.2f} mm -> trained {res['rot_mrad']:.1f} mrad"
-        f" / {res['trans_mm']:.2f} mm", flush=True,
+        f" / {res['trans_mm']:.2f} mm (score {gate_score(res):.4f})", flush=True,
     )
-    if res["improved"]:
-        save_params(out, params)
+    install = res["improved"]
+    if install and os.path.exists(out):
+        inc = _incumbent_gate(out, version, vs)
+        if gate_score(res) >= gate_score(inc):
+            install = False
+            print(
+                f"candidate passes the bar but does not beat the incumbent "
+                f"(score {gate_score(res):.4f} vs {gate_score(inc):.4f}) — "
+                f"keeping the installed checkpoint", flush=True,
+            )
+            res["incumbent"] = inc
+            out = out.replace(".npz", ".candidate.npz")
+    elif not res["improved"]:
+        out = out.replace(".npz", ".ungated.npz")
+    save_params(out, params)
+    if install:
+        with open(out + ".gate.json", "w") as f:
+            json.dump({"version": version, "vs": vs, "result": res}, f, indent=1)
         print(f"saved {out}", flush=True)
     else:
-        out = out.replace(".npz", ".ungated.npz")
-        save_params(out, params)
-        print(f"held-out gate NOT met; weights at {out} (not installed)", flush=True)
+        print(f"not installed; weights at {out}", flush=True)
     res["path"] = out
     return res
 
