@@ -160,9 +160,12 @@ def parse_data(dataset: List[Stack], res_s: float):
             idx[nz[0] : nz[-1] + 1] = True
         crop_idx.append(jnp.asarray(idx))
         cropped = cropped[jnp.asarray(np.nonzero(idx)[0])]
-        # normalize by q99 of nonzero values
-        pos = cropped[cropped > 0]
-        q99 = jnp.quantile(pos, 0.99) if pos.size else jnp.asarray(1.0)
+        # normalize by q99 of nonzero values — computed host-side: a device
+        # boolean gather has a data-dependent output shape, so every stack
+        # (distinct nonzero count) would trigger a fresh remote compile
+        cr_np = np.asarray(cropped)
+        pos = cr_np[cr_np > 0]
+        q99 = float(np.quantile(pos, 0.99)) if pos.size else 1.0
         stacks.append(cropped / q99)
         # transformations: reset rotations, recenter
         transform = data.transformation
@@ -498,7 +501,9 @@ def run_svort(dataset: List[Stack], model, model_params, svort, vvr, force_vvr):
     for stack in dataset:
         mask_np = np.asarray(stack.mask)
         idx_nonempty = mask_np.reshape(mask_np.shape[0], -1).any(1)
-        q99 = jnp.quantile(stack.slices[stack.mask], 0.99)
+        # q99 host-side (data-dependent boolean gather recompiles per count)
+        vals = np.asarray(stack.slices)[mask_np.astype(bool)]
+        q99 = float(np.quantile(vals, 0.99)) if vals.size else 1.0
         stack.slices = stack.slices / q99
         for i in np.nonzero(idx_nonempty)[0]:
             slices.append(stack[int(i)])

@@ -173,10 +173,13 @@ def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
         )
         # q99 of NONZERO values — the exact normalization inference applies
         # in parse_data (svort/inference.py:140-143); train/test input
-        # scales must match
-        pos = s[s > 0]
-        q99 = jnp.quantile(pos, 0.99) if pos.size else jnp.asarray(1.0)
-        q99 = jnp.maximum(q99, 1e-6)
+        # scales must match. Host-side: the device boolean gather has a
+        # data-dependent shape, so every simulated example (distinct
+        # nonzero count) would pay a fresh remote compile — this dominated
+        # warm pool-sim/refresh cost before the fix.
+        s_np = np.asarray(s)
+        pos = s_np[s_np > 0]
+        q99 = max(float(np.quantile(pos, 0.99)) if pos.size else 1.0, 1e-6)
         q99s.append(q99)
         stacks.append(s / q99)
         mats_true.append(t_true.matrix())
@@ -219,7 +222,7 @@ def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
     # match the reconstruction's intensity scale: the model rebuilds from
     # q99-normalized stacks, so the target must carry the same scale or the
     # MSE has an irreducible floor that biases the score-head gradients
-    v = volume[0, 0] / jnp.mean(jnp.stack(q99s))
+    v = volume[0, 0] / float(np.mean(q99s))
     z0 = (D - v.shape[0]) // 2
     y0 = (H - v.shape[1]) // 2
     x0 = (W - v.shape[2]) // 2
