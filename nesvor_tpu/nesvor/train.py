@@ -415,13 +415,14 @@ def _project_gauge(axisangle, axisangle_init):
     penalizes per-slice deviation too weakly to anchor this mode (0.1 ×
     (0.048)² ≈ 2e-4 at the measured drift).
 
-    Applied once per dispatch chunk, the per-application correction is a few
-    mrad, so the instantaneous pose/density misalignment it introduces is
-    negligible and the density field stays anchored to the scanner frame.
-    Deviations are composed world-side (diff = opt ∘ init⁻¹, the same
-    convention bench.py uses to measure drift); the arithmetic mean of
-    axisangle deviations stands in for the Karcher mean, exact to second
-    order in the per-chunk increment.
+    Applied after every optimizer update (inside the scanned step), each
+    correction is ~urad-scale, so the density field never sees a discrete
+    pose jump. (The first round-3 version projected once per dispatch
+    chunk — a few mrad at once, which the field had to re-track, measurably
+    costing converged gauge-fixed PSNR.) Deviations are composed world-side
+    (diff = opt ∘ init⁻¹, the same convention bench.py uses to measure
+    drift); the arithmetic mean of axisangle deviations stands in for the
+    Karcher mean, exact to second order in the per-step increment.
     """
     x = RigidTransform(axisangle, trans_first=True)
     y = RigidTransform(axisangle_init, trans_first=True)
@@ -452,6 +453,7 @@ def make_train_step(
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     local_batch = batch_size // n_dev
     assert local_batch > 0, (batch_size, n_dev)
+    anchor_poses = gauge_anchor and not cfg.no_transformation_optimization
 
     def loss_fn(params, consts, batch, key):
         losses = nesvor_loss(params, consts, cfg, bounding_box, batch, key)
@@ -480,6 +482,17 @@ def make_train_step(
             losses = jax.lax.pmean(losses, "dp")
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if anchor_poses:
+            # per-STEP gauge projection: each correction is ~urad-scale, so
+            # the density field never sees a discrete pose jump (the earlier
+            # per-chunk projection moved poses by a few mrad at once and the
+            # field had to re-track them, measurably costing converged PSNR)
+            params = dict(
+                params,
+                axisangle=_project_gauge(
+                    params["axisangle"], consts["axisangle_init"]
+                ),
+            )
         return (params, opt_state, consts, data), losses
 
     def scan_chunk(params, opt_state, consts, data, keys):
@@ -513,19 +526,10 @@ def make_train_step(
         names += [B_REG]
     names = sorted(names)
 
-    anchor_poses = gauge_anchor and not cfg.no_transformation_optimization
-
     @partial(jax.jit, static_argnames=("n_steps",))
     def run_chunk_jit(params, opt_state, consts, data, key, n_steps: int):
         keys = jax.random.split(key, n_steps)
         params, opt_state, losses = scan_chunk(params, opt_state, consts, data, keys)
-        if anchor_poses:
-            params = dict(
-                params,
-                axisangle=_project_gauge(
-                    params["axisangle"], consts["axisangle_init"]
-                ),
-            )
         assert sorted(losses) == names, (
             f"nesvor_loss emitted {sorted(losses)} but make_train_step "
             f"predicted {names}"
