@@ -58,6 +58,26 @@ def init_multihost(
     jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 
+def barrier(name: str, timeout_s: float = 600.0) -> None:
+    """Block until every process in the cluster reaches this barrier.
+
+    Runs over the jax.distributed coordination service (gRPC to the
+    coordinator), whose timeout we control — unlike the Gloo CPU-collective
+    context bootstrap, whose key-value rendezvous has a hardcoded ~30 s
+    timeout inside XLA. On a loaded host, per-process compile-time skew
+    easily exceeds 30 s, so the first collective *execution* must be
+    preceded by an explicit barrier: AOT-compile the program in every
+    process, ``barrier()``, then execute — all processes then enter the
+    Gloo bootstrap within milliseconds of each other. No-op when
+    single-process."""
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is None or jax.process_count() < 2:
+        return
+    client.wait_at_barrier(name, int(timeout_s * 1000))
+
+
 def make_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     import numpy as np
