@@ -1,10 +1,13 @@
 """Train a SVoRT checkpoint on synthetic motion and install it under
 nesvor_tpu/checkpoints/SVoRT_<version>.npz (activates `--registration svort`).
 
-Usage: python scripts/train_svort.py [steps] [n_examples] [vs] [version] [resume_path]
+Usage: python scripts/train_svort.py [steps] [n_examples] [vs] [version] [resume_path] [seed]
 
 With resume_path, training warm-starts from that .npz (e.g. a previous
-run's installed checkpoint or its .training.npz mid-run snapshot).
+run's installed checkpoint or its .training.npz mid-run snapshot). Pass a
+fresh seed per continuation so each session trains on NEW simulated motion
+examples instead of replaying the previous run's pool/refresh stream (the
+held-out gate uses seeds 777000+; any seed < 100000 is safe).
 """
 
 import logging
@@ -23,6 +26,8 @@ def main():
     vs = int(sys.argv[3]) if len(sys.argv) > 3 else 48
     version = sys.argv[4] if len(sys.argv) > 4 else "v1"
     resume_path = sys.argv[5] if len(sys.argv) > 5 else ""
+    seed = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    assert seed < 100_000, "seeds 777000+ are reserved for the held-out gate"
     # working volume: covers the sqrt(3)*vs*res FOV with margin, rounded to
     # a 32-voxel bucket. One v5e (15.75 GB HBM) fits the differentiated
     # train step up to vs=48/96^3; vs=64/128^3 needs ~21 GB even with the
@@ -55,7 +60,7 @@ def main():
         motion_rot=0.06, motion_trans=2.0, motion_jitter=0.5,
         volume_shape=(vol_vs, vol_vs, vol_vs), volume_weight=1.0,
         warmup_steps=min(200, max(10, steps // 10)),
-        seed=1, log_every=25,
+        seed=seed, log_every=25,
         checkpoint_path=inprogress, save_every=max(25, steps // 20),
         refresh_every=4, init_params_path=resume_path,
     )
