@@ -90,17 +90,18 @@ class Image:
         save_nii_volume(path, img_np, affine)
 
     @property
-    def xyz_masked(self) -> jnp.ndarray:
-        # fully host-side: the masked-coordinate count is data-dependent,
-        # so a device transform_points on the (n_masked, 3) array would
-        # compile a fresh program per distinct mask count — ~60 s through
-        # the remote compile service on EVERY reconstruct, since optimized
-        # poses shift the count each run (bench r03: xyz phase 62.8 s vs
-        # 0.1 s host). The 3x4 matrix-apply is numpy-cheap.
+    def xyz_masked(self) -> np.ndarray:
+        # fully host-side, and stays a NUMPY array: the masked-coordinate
+        # count is data-dependent, so ANY device op on the (n_masked, 3)
+        # array (even an eager ravel or slice) compiles a fresh program per
+        # distinct mask count — ~60 s through the remote compile service on
+        # EVERY reconstruct, since optimized poses shift the count each run
+        # (bench r03: xyz phase 62.8 s device vs 0.1 s host). Consumers
+        # upload fixed-size padded chunks only.
         mat = np.asarray(self.transformation.matrix(trans_first=False))
         mat = mat.reshape(-1, 3, 4)[0]
         xyz = self._xyz_masked_untransformed_np()
-        return jnp.asarray(xyz @ mat[:, :3].T + mat[:, 3])
+        return xyz @ mat[:, :3].T + mat[:, 3]
 
     def _xyz_masked_untransformed_np(self) -> np.ndarray:
         # host-side nonzero: the device op has a data-dependent output

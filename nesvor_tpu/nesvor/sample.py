@@ -105,6 +105,14 @@ def _eval_points(
                     "single-device run at noise level)", batch_size,
                 )
             batch_size = -(-batch_size // dp_devices) * dp_devices
+    # keep the full point set in NUMPY: the total count is data-dependent
+    # (mask nonzeros), so eager device slicing/padding on the (n, 3) array
+    # compiles fresh dynamic_slice/concatenate programs per distinct count —
+    # ~25 s of remote compiles on every reconstruct (bench r03). Only the
+    # fixed-size padded chunks below ever become device arrays.
+    xyz = np.asarray(xyz)
+    if mats is not None:
+        mats = np.asarray(mats)
     n = xyz.shape[0]
     # dispatch every chunk first, fetch after: JAX dispatch is async, so the
     # device pipelines chunk i+1 while the host would otherwise be blocked
@@ -114,13 +122,15 @@ def _eval_points(
         chunk = xyz[i : i + batch_size]
         pad = batch_size - chunk.shape[0]
         if pad:
-            chunk = jnp.concatenate([chunk, jnp.zeros((pad, 3), chunk.dtype)], 0)
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad, 3), chunk.dtype)], 0
+            )
         m = None
         if mats is not None:
             m = mats[i : i + batch_size]
             if pad:
-                m = jnp.concatenate(
-                    [m, jnp.broadcast_to(jnp.eye(3, 4, dtype=m.dtype), (pad, 3, 4))], 0
+                m = np.concatenate(
+                    [m, np.broadcast_to(np.eye(3, 4, dtype=m.dtype), (pad, 3, 4))], 0
                 )
         if point_sharding is not None:
             chunk = jax.device_put(chunk, point_sharding)
@@ -140,7 +150,10 @@ def _eval_points(
     return out
 
 
-def sample_points(model: INRModel, xyz: jnp.ndarray, args: Namespace) -> jnp.ndarray:
+def sample_points(model: INRModel, xyz, args: Namespace) -> jnp.ndarray:
+    # host-side reshape: callers pass arbitrary-count point sets, and an
+    # eager device reshape would compile per distinct count (see _eval_points)
+    xyz = np.asarray(xyz)
     shape = xyz.shape[:-1]
     xyz = xyz.reshape(-1, 3)
     batch_size = int(args.inference_batch_size)
@@ -173,8 +186,7 @@ def sample_volume(model: INRModel, mask: Volume, args: Namespace) -> Volume:
     img = mask.resample(args.output_resolution, None)
     np.asarray(img.image.ravel()[0])  # sync (block_until_ready is a no-op here)
     t05 = time.time()
-    xyz = img.xyz_masked
-    np.asarray(xyz.ravel()[0])
+    xyz = img.xyz_masked  # numpy (count-dependent shape stays off-device)
     t1 = time.time()
     values = sample_points(model, xyz, args)
     t2 = time.time()
@@ -202,8 +214,14 @@ def sample_slice(
     xyz = meshgrid(
         np.asarray(out.shape_xyz), np.asarray(out.resolution_xyz)
     ).reshape(-1, 3)
-    m = mask.sample_points(transform_points(out.transformation, xyz)) > 0
-    if not bool(m.any()):
+    # the in-mask test runs on device at the slice's full (stable) grid
+    # shape; everything keyed on the data-dependent masked COUNT — nonzero,
+    # gather, fill — happens host-side in numpy, because eager device ops
+    # at count-dependent shapes compile a fresh program per slice
+    m = np.asarray(
+        mask.sample_points(transform_points(out.transformation, xyz)) > 0
+    )
+    if not m.any():
         return out
     n_samples = (
         1 if getattr(args, "no_output_psf", False) else int(args.n_inference_samples)
@@ -212,23 +230,23 @@ def sample_slice(
         resolution2sigma(np.asarray(out.resolution_xyz), isotropic=False)
     )
     key = jax.random.PRNGKey(getattr(args, "seed", 0) or 0)
-    mats = out.transformation.matrix(trans_first=True)
-    midx = jnp.nonzero(m)[0]
-    xyz_masked = xyz[midx]
+    mats = np.asarray(out.transformation.matrix(trans_first=True))
+    midx = np.nonzero(m)[0]
+    xyz_masked = np.asarray(xyz)[midx]
     v = _eval_points(
         model,
         xyz_masked,
-        jnp.broadcast_to(mats, (xyz_masked.shape[0], 3, 4)),
+        np.broadcast_to(mats.reshape(-1, 3, 4), (xyz_masked.shape[0], 3, 4)),
         psf_sigma,
         n_samples,
         int(getattr(args, "inference_batch_size", 0) or 32768),
         key,
         dp_devices=int(getattr(args, "dp_devices", 0) or 0),
     )
-    v = jnp.asarray(v)
-    mask_img = m.reshape(out.mask.shape)
-    out.mask = mask_img
-    out.image = out.image.reshape(-1).at[midx].set(v).reshape(out.image.shape)
+    out.mask = jnp.asarray(m.reshape(tuple(out.mask.shape)))
+    flat = np.zeros(int(np.prod(out.image.shape)), dtype=np.float32)
+    flat[midx] = np.asarray(v)
+    out.image = jnp.asarray(flat.reshape(out.image.shape))
     return out
 
 
