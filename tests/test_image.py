@@ -120,6 +120,10 @@ def test_xyz_masked_host_path_matches_device_transform():
         img = jnp.asarray(rng.normal(size=(9, 11, 13)).astype(np.float32))
         mask = jnp.asarray(rng.random((9, 11, 13)) > 0.5)
         vol = Volume(img, mask, t, 0.7, 0.9, 1.1)
+        # must stay a NUMPY array: any eager device op at the
+        # count-dependent (n_masked, 3) shape (even ravel/slice) compiles
+        # a fresh remote program per distinct mask count
+        assert isinstance(vol.xyz_masked, np.ndarray)
         got = np.asarray(vol.xyz_masked)
         want = np.asarray(
             transform_points(t, vol.xyz_masked_untransformed)
