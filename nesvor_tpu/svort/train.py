@@ -90,9 +90,14 @@ class SVoRTTrainConfig:
     save_every: int = 0
     refresh_every: int = 0
     # warm-start: load initial params from this .npz (a prior run's
-    # checkpoint) instead of random init. Optimizer state restarts —
-    # acceptable for continuing training across sessions.
+    # checkpoint) instead of random init.
     init_params_path: str = ""
+    # restore Adam moments/step-count saved by a prior run (see
+    # save_opt_state). Without it a continuation restarts the optimizer:
+    # fresh zero moments mis-scale the first updates and the session
+    # boundary shows up as a loss spike / transient pose-error regression
+    # (the failure mode gate_and_install's incumbent check guards against).
+    init_opt_path: str = ""
 
 
 def synth_volume(rng: np.random.Generator, vs: int) -> jnp.ndarray:
@@ -296,6 +301,9 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
         lr = cfg.lr
     tx = optax.adam(lr)
     opt_state = tx.init(params)
+    if cfg.init_opt_path:
+        opt_state = load_opt_state(cfg.init_opt_path, opt_state)
+        logging.info("restored optimizer state from %s", cfg.init_opt_path)
 
     logging.info(
         "simulating %d SVoRT training examples (vs=%d, %d stacks)",
@@ -374,6 +382,7 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
             and ((i + 1) % cfg.save_every == 0 or i == cfg.steps - 1)
         ):
             save_params(cfg.checkpoint_path, params)
+            save_opt_state(opt_state_path(cfg.checkpoint_path), opt_state)
             logging.info("saved %s at step %d", cfg.checkpoint_path, i + 1)
     return model, params, history
 
@@ -525,6 +534,78 @@ def gate_and_install(params: Dict, version: str = "v1", vs: int = 48) -> Dict:
         print(f"not installed; weights at {out}", flush=True)
     res["path"] = out
     return res
+
+
+def opt_state_path(checkpoint_path: str) -> str:
+    """Sibling file holding the optimizer state for a params checkpoint
+    (``SVoRT_v1.training.npz`` -> ``SVoRT_v1.training.opt.npz``)."""
+    base = checkpoint_path[:-4] if checkpoint_path.endswith(".npz") else (
+        checkpoint_path
+    )
+    return base + ".opt.npz"
+
+
+def _adam_index(opt_state) -> int:
+    """Index of the ScaleByAdamState entry in an optax chain state. Only
+    the Adam moments are persisted — LR-schedule counters are left to the
+    continuation's own schedule (continuations should run warmup_steps=0)."""
+    for i, s in enumerate(opt_state):
+        if hasattr(s, "mu") and hasattr(s, "nu") and hasattr(s, "count"):
+            return i
+    raise ValueError("no ScaleByAdamState in optimizer state")
+
+
+def save_opt_state(path: str, opt_state) -> None:
+    """Persist the Adam step count and moments so a later session can
+    continue training as if uninterrupted (see SVoRTTrainConfig.init_opt_path).
+    mu is stored f16 (same scale as gradients; rounding there is harmless),
+    nu f32 — an underflowed-to-zero second moment would explode the next
+    update to mu/eps. Atomic write, like save_params."""
+    import os
+
+    s = opt_state[_adam_index(opt_state)]
+    arrs = {"count": np.asarray(s.count)}
+    for k, v in s.mu.items():
+        arrs["mu::" + k] = np.asarray(v, np.float16)
+    for k, v in s.nu.items():
+        arrs["nu::" + k] = np.asarray(v, np.float32)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **arrs)
+    os.replace(tmp, path)
+
+
+def load_opt_state(path: str, opt_state):
+    """Graft Adam moments saved by ``save_opt_state`` into a freshly
+    initialized optimizer state (any LR schedule — the template's other
+    chain entries are kept as-is). Raises on any param-name/shape mismatch:
+    a moment file from a different model must never be silently applied."""
+    s = opt_state[_adam_index(opt_state)]
+    data = np.load(path)
+    mu, nu = {}, {}
+    for k in s.mu:
+        mk, nk = "mu::" + k, "nu::" + k
+        if mk not in data.files or nk not in data.files:
+            raise ValueError(f"{path} has no moments for param {k!r}")
+        if data[mk].shape != np.shape(s.mu[k]):
+            raise ValueError(
+                f"moment shape mismatch for {k!r}: "
+                f"{data[mk].shape} vs {np.shape(s.mu[k])}"
+            )
+        mu[k] = jnp.asarray(data[mk], jnp.float32)
+        nu[k] = jnp.asarray(data[nk], jnp.float32)
+    extra = (
+        {f for f in data.files if f != "count"}
+        - {"mu::" + k for k in s.mu}
+        - {"nu::" + k for k in s.nu}
+    )
+    if extra:
+        raise ValueError(f"{path} has moments for unknown params: {sorted(extra)[:3]}")
+    i = _adam_index(opt_state)
+    new = s._replace(
+        count=jnp.asarray(data["count"]), mu=mu, nu=nu
+    )
+    return tuple(opt_state[:i]) + (new,) + tuple(opt_state[i + 1:])
 
 
 def save_params(path: str, params: Dict) -> None:

@@ -45,6 +45,7 @@ def main():
     from nesvor_tpu.svort.train import (
         SVoRTTrainConfig,
         gate_and_install,
+        opt_state_path,
         train_svort,
     )
 
@@ -54,15 +55,29 @@ def main():
     # eval below, so a fresh run never clobbers a good shipped model with
     # half-trained weights
     inprogress = os.path.join(__checkpoint_dir, f"SVoRT_{version}.training.npz")
+    # continuation with optimizer state: prefer the moments saved next to
+    # the resume checkpoint; fall back to the training snapshot's (the
+    # installer keeps it — installed params == final snapshot params, so
+    # the pair stays consistent). With restored moments the LR warmup
+    # (from-scratch stability insurance) is skipped: ramping a mid-run
+    # optimizer from lr=0 only wastes steps.
+    init_opt = ""
+    if resume_path:
+        for cand in (opt_state_path(resume_path), opt_state_path(inprogress)):
+            if os.path.exists(cand):
+                init_opt = cand
+                break
+    warmup = 0 if init_opt else min(200, max(10, steps // 10))
     cfg = SVoRTTrainConfig(
         version=version, n_iter_model=0, steps=steps, lr=2e-4,
         n_examples=n_examples, vs=vs, n_stacks=3, gap=3.0,
         motion_rot=0.06, motion_trans=2.0, motion_jitter=0.5,
         volume_shape=(vol_vs, vol_vs, vol_vs), volume_weight=1.0,
-        warmup_steps=min(200, max(10, steps // 10)),
+        warmup_steps=warmup,
         seed=seed, log_every=25,
         checkpoint_path=inprogress, save_every=max(25, steps // 20),
         refresh_every=4, init_params_path=resume_path,
+        init_opt_path=init_opt,
     )
     t0 = time.time()
     model, params, history = train_svort(cfg)

@@ -69,3 +69,70 @@ def test_svort_training_with_volume_loss_smoke():
         assert np.isfinite(history["loss"]).all(), (version, history)
         for leaf in jax.tree_util.tree_leaves(params):
             assert bool(np.isfinite(np.asarray(leaf)).all()), version
+
+
+def test_opt_state_persistence_tracks_uninterrupted_training(tmp_path):
+    """A 4+4-step continuation with restored Adam moments must land far
+    closer to the uninterrupted 8-step trajectory than a continuation that
+    restarts the optimizer (the session-boundary transient the feature
+    removes). Also checks the moment file round-trips into a fresh
+    optimizer state, including one with a different LR-schedule chain."""
+    import optax
+
+    from nesvor_tpu.svort.convert import load_converted
+    from nesvor_tpu.svort.train import (
+        load_opt_state,
+        opt_state_path,
+        save_params,
+    )
+
+    kw = dict(
+        steps=8, n_examples=2, vs=16, gap=4.0, volume_shape=(32, 32, 32),
+        lr=3e-4, warmup_steps=0, log_every=1,
+    )
+    _, params_full, _ = train_svort(_tiny_cfg(**kw))
+
+    snap = str(tmp_path / "snap.npz")
+    cfg_first = _tiny_cfg(**{**kw, "steps": 4,
+                             "checkpoint_path": snap, "save_every": 4})
+    train_svort(cfg_first)
+    opt_file = opt_state_path(snap)
+    assert opt_file.endswith("snap.opt.npz")
+
+    # moment file loads into a fresh Adam state (count restored) and into
+    # a schedule-chained Adam (different second chain entry) alike
+    snap_params = load_converted(snap)
+    for tx in (optax.adam(3e-4), optax.adam(optax.linear_schedule(0, 3e-4, 5))):
+        st = load_opt_state(opt_file, tx.init(snap_params))
+        adam = next(s for s in st if hasattr(s, "mu"))
+        assert int(adam.count) == 4
+        assert set(adam.mu) == set(snap_params)
+    # a moment file for different params must be rejected, not grafted
+    other = {k: v for k, v in list(snap_params.items())[:3]}
+    with pytest.raises(ValueError):
+        load_opt_state(opt_file, optax.adam(3e-4).init(other))
+
+    def continue_four_steps(init_opt_path):
+        cfg = _tiny_cfg(**{**kw, "steps": 4, "init_params_path": snap,
+                           "init_opt_path": init_opt_path})
+        _, p, _ = train_svort(cfg)
+        return p
+
+    params_resumed = continue_four_steps(opt_file)
+    params_restart = continue_four_steps("")
+
+    def rel_l2(a, b):
+        # global relative L2 over the whole param vector: stable against
+        # zero-init heads, which make per-param relative maxima O(1)
+        num = sum(
+            float(np.sum((np.asarray(a[k], np.float64)
+                          - np.asarray(b[k], np.float64)) ** 2)) for k in a
+        )
+        den = sum(float(np.sum(np.asarray(a[k], np.float64) ** 2)) for k in a)
+        return (num / den) ** 0.5
+
+    err_resumed = rel_l2(params_full, params_resumed)
+    err_restart = rel_l2(params_full, params_restart)
+    # both continuations share the f16 snapshot rounding; the restored-
+    # moments run must track the uninterrupted trajectory clearly better
+    assert err_resumed < 0.6 * err_restart, (err_resumed, err_restart)
