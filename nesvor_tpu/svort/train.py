@@ -302,8 +302,17 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
     tx = optax.adam(lr)
     opt_state = tx.init(params)
     if cfg.init_opt_path:
-        opt_state = load_opt_state(cfg.init_opt_path, opt_state)
-        logging.info("restored optimizer state from %s", cfg.init_opt_path)
+        try:
+            opt_state = load_opt_state(cfg.init_opt_path, opt_state, params)
+            logging.info("restored optimizer state from %s", cfg.init_opt_path)
+        except ValueError as e:
+            # a stale/mismatched sidecar must not kill an unattended
+            # session at startup — continue with a fresh optimizer (the
+            # pre-restore behavior; the install gate guards the outcome)
+            logging.warning(
+                "NOT restoring optimizer state (%s); training continues "
+                "with fresh Adam moments", e,
+            )
 
     logging.info(
         "simulating %d SVoRT training examples (vs=%d, %d stacks)",
@@ -382,7 +391,7 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
             and ((i + 1) % cfg.save_every == 0 or i == cfg.steps - 1)
         ):
             save_params(cfg.checkpoint_path, params)
-            save_opt_state(opt_state_path(cfg.checkpoint_path), opt_state)
+            save_opt_state(opt_state_path(cfg.checkpoint_path), opt_state, params)
             logging.info("saved %s at step %d", cfg.checkpoint_path, i + 1)
     return model, params, history
 
@@ -555,16 +564,39 @@ def _adam_index(opt_state) -> int:
     raise ValueError("no ScaleByAdamState in optimizer state")
 
 
-def save_opt_state(path: str, opt_state) -> None:
+def params_fingerprint(params: Dict) -> np.ndarray:
+    """SHA-256 over the f16-quantized bytes of every param, in sorted key
+    order — exactly what ``save_params`` writes, so the fingerprint of the
+    in-memory training params equals the fingerprint of the same params
+    after an f16 checkpoint round-trip (f16->f32->f16 is bit-exact)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for k in sorted(params):
+        h.update(k.encode())
+        h.update(np.ascontiguousarray(np.asarray(params[k], np.float16)))
+    return np.frombuffer(h.digest(), dtype=np.uint8)
+
+
+def save_opt_state(path: str, opt_state, params: Dict = None) -> None:
     """Persist the Adam step count and moments so a later session can
     continue training as if uninterrupted (see SVoRTTrainConfig.init_opt_path).
     mu is stored f16 (same scale as gradients; rounding there is harmless),
     nu f32 — an underflowed-to-zero second moment would explode the next
-    update to mu/eps. Atomic write, like save_params."""
+    update to mu/eps. Atomic write, like save_params.
+
+    When ``params`` is given, their fingerprint is stored so a later load
+    can verify the moments belong to the exact params being resumed — a
+    stale sidecar surviving next to a *different* checkpoint (e.g. the
+    training snapshot's .opt.npz after an install-declined run, resumed
+    against the incumbent) has matching shapes and would otherwise be
+    grafted silently."""
     import os
 
     s = opt_state[_adam_index(opt_state)]
     arrs = {"count": np.asarray(s.count)}
+    if params is not None:
+        arrs["param_sha"] = params_fingerprint(params)
     for k, v in s.mu.items():
         arrs["mu::" + k] = np.asarray(v, np.float16)
     for k, v in s.nu.items():
@@ -575,13 +607,22 @@ def save_opt_state(path: str, opt_state) -> None:
     os.replace(tmp, path)
 
 
-def load_opt_state(path: str, opt_state):
+def load_opt_state(path: str, opt_state, params: Dict = None):
     """Graft Adam moments saved by ``save_opt_state`` into a freshly
     initialized optimizer state (any LR schedule — the template's other
     chain entries are kept as-is). Raises on any param-name/shape mismatch:
-    a moment file from a different model must never be silently applied."""
+    a moment file from a different model must never be silently applied.
+    With ``params``, also requires the file's stored fingerprint to match
+    them (moments for a *different snapshot* of the same model are rejected,
+    not just a different architecture)."""
     s = opt_state[_adam_index(opt_state)]
     data = np.load(path)
+    if params is not None and "param_sha" in data.files:
+        if not np.array_equal(data["param_sha"], params_fingerprint(params)):
+            raise ValueError(
+                f"{path} holds moments for a different params snapshot "
+                "(fingerprint mismatch) — refusing to graft a stale sidecar"
+            )
     mu, nu = {}, {}
     for k in s.mu:
         mk, nk = "mu::" + k, "nu::" + k
@@ -595,7 +636,7 @@ def load_opt_state(path: str, opt_state):
         mu[k] = jnp.asarray(data[mk], jnp.float32)
         nu[k] = jnp.asarray(data[nk], jnp.float32)
     extra = (
-        {f for f in data.files if f != "count"}
+        {f for f in data.files if f not in ("count", "param_sha")}
         - {"mu::" + k for k in s.mu}
         - {"nu::" + k for k in s.nu}
     )

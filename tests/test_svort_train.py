@@ -111,6 +111,15 @@ def test_opt_state_persistence_tracks_uninterrupted_training(tmp_path):
     other = {k: v for k, v in list(snap_params.items())[:3]}
     with pytest.raises(ValueError):
         load_opt_state(opt_file, optax.adam(3e-4).init(other))
+    # ... and so must moments for a different SNAPSHOT of the same model
+    # (same keys/shapes, different values — the stale-sidecar hazard);
+    # the exact snapshot params pass the fingerprint check
+    perturbed = dict(snap_params)
+    k0 = sorted(perturbed)[0]
+    perturbed[k0] = np.asarray(perturbed[k0]) + 1.0
+    with pytest.raises(ValueError, match="fingerprint"):
+        load_opt_state(opt_file, optax.adam(3e-4).init(perturbed), perturbed)
+    load_opt_state(opt_file, optax.adam(3e-4).init(snap_params), snap_params)
 
     def continue_four_steps(init_opt_path):
         cfg = _tiny_cfg(**{**kw, "steps": 4, "init_params_path": snap,
