@@ -31,15 +31,48 @@ def ensure_f32_matmul_semantics() -> None:
     enable_persistent_compilation_cache()
 
 
+def _machine_fingerprint() -> str:
+    """Short stable hash of the jaxlib build + host CPU feature set.
+
+    XLA:CPU persists AOT *executables* whose cache key does NOT include the
+    host's CPU features; entries written on a different machine image can
+    load back with real feature mismatches (SIGILL risk). CPU cache
+    partitions are therefore machine-scoped. (Note this does NOT silence
+    the ~3 KB/program "+prefer-no-gather is not supported" loader spew —
+    those are XLA tuning pseudo-features the loader flags even for
+    same-machine entries; the multihost launchers absorb that spew with
+    file-backed stdout instead of pipes.)"""
+    import hashlib
+    import platform
+
+    try:
+        import jaxlib
+
+        ver = getattr(jaxlib, "__version__", "?")
+    except Exception:
+        ver = "?"
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(ln for ln in f if ln.startswith("flags"))
+    except (OSError, StopIteration):
+        flags = platform.machine()
+    return hashlib.sha256(f"{ver}|{flags}".encode()).hexdigest()[:10]
+
+
 def _default_cache_dir() -> str:
     """Repo-checkout `.jax_cache/` when the package runs from a git checkout
     (so warmed cache entries travel with the repo), else the user cache dir.
-    Partitioned by interpreter version: this environment has two pythons
-    with different jaxlib builds, and XLA:CPU AOT entries compiled by one
-    can carry CPU-feature flags the other's loader rejects (SIGILL risk)."""
+    Partitioned by interpreter version (two pythons with different jaxlib
+    builds coexist in this environment), and — for CPU-only processes — by
+    a machine fingerprint, because XLA:CPU AOT entries are host-specific
+    (see :func:`_machine_fingerprint`). TPU partitions stay machine-neutral
+    on purpose: TPU programs are compiled remotely and their warmed cache
+    (the expensive part) must survive build-machine image changes."""
     import sys
 
     tag = f"py{sys.version_info[0]}{sys.version_info[1]}"
+    if jax.config.jax_platforms == "cpu":
+        tag += f"-cpu-{_machine_fingerprint()}"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if os.path.isdir(os.path.join(repo, ".git")):
         return os.path.join(repo, ".jax_cache", tag)
