@@ -28,6 +28,44 @@ from .image_utils import (
 from .nifti import read_nifti, write_nifti
 
 
+def _trilinear_host(volume: np.ndarray, x, y, z) -> np.ndarray:
+    """Numpy twin of ops.interp._trilinear_zero_pad (align-corners voxel
+    coords, zero outside): used by the host-side Volume.resample path."""
+    D, H, W = volume.shape
+    x0f = np.floor(x)
+    y0f = np.floor(y)
+    z0f = np.floor(z)
+    wx = (x - x0f).astype(np.float32)
+    wy = (y - y0f).astype(np.float32)
+    wz = (z - z0f).astype(np.float32)
+    x0 = x0f.astype(np.int64)
+    y0 = y0f.astype(np.int64)
+    z0 = z0f.astype(np.int64)
+    flat = volume.reshape(-1)
+    out = np.zeros(x.shape, dtype=np.float32)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi = x0 + dx
+                yi = y0 + dy
+                zi = z0 + dz
+                valid = (
+                    (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H) & (zi >= 0) & (zi < D)
+                )
+                idx = (
+                    np.clip(zi, 0, D - 1) * (H * W)
+                    + np.clip(yi, 0, H - 1) * W
+                    + np.clip(xi, 0, W - 1)
+                )
+                w = (
+                    (wx if dx else 1.0 - wx)
+                    * (wy if dy else 1.0 - wy)
+                    * (wz if dz else 1.0 - wz)
+                )
+                out += np.where(valid, w * flat[idx], 0.0)
+    return out
+
+
 class Image:
     """3-D image + bool mask + RigidTransform + per-axis resolution
     (reference image.py:17-94). ``image`` is (d, h, w) in (z, y, x) order."""
@@ -218,10 +256,17 @@ class Volume(Image):
         self,
         resolution_new: Optional[Union[float, jnp.ndarray]],
         transformation_new: Optional[RigidTransform] = None,
+        host: bool = False,
     ) -> "Volume":
         """Two jitted dispatches (bounds, then static-shape grid+sample):
         the eager formulation cost ~100 s of per-op dispatch latency through
-        the remote-TPU tunnel at typical volume sizes."""
+        the remote-TPU tunnel at typical volume sizes.
+
+        ``host=True`` runs the identical math in numpy on the host instead —
+        the right choice for small/binary volumes (the sample_volume
+        occupancy mask) where the device path's value is one fused program
+        but its cost is a first-run remote compile (~17 s per machine image,
+        BENCH_r03 resample_s) that dwarfs the milliseconds of actual work."""
         if transformation_new is None:
             transformation_new = self.transformation
         if resolution_new is None:
@@ -230,6 +275,8 @@ class Volume(Image):
             res_new = (float(resolution_new),) * 3
         else:
             res_new = tuple(float(r) for r in np.asarray(resolution_new))
+        if host:
+            return self._resample_host(res_new, transformation_new)
 
         res_xyz = tuple(float(r) for r in np.asarray(self.resolution_xyz))
         bounds = np.asarray(
@@ -265,6 +312,63 @@ class Volume(Image):
             res_new[0],
             res_new[1],
             res_new[2],
+        )
+
+    def _resample_host(self, res_new, transformation_new) -> "Volume":
+        """Numpy mirror of the jitted resample (same bounds rule, 32-voxel
+        shape buckets, align-corners trilinear with zero padding); kept
+        numerically interchangeable with the device path — pinned by
+        tests/test_image.py::test_resample_host_matches_device."""
+        img = np.asarray(self.image, dtype=np.float32)
+        mask = np.asarray(self.mask)
+        D, H, W = img.shape
+        res_xyz = np.array(
+            [self.resolution_x, self.resolution_y, self.resolution_z], np.float32
+        )
+        rn = np.asarray(res_new, np.float32)
+
+        # --- bounds of the masked voxels in the new frame, ±10 voxels ---
+        kji = np.stack(np.nonzero(mask), -1)[:, ::-1].astype(np.float32)
+        if kji.shape[0] == 0:
+            kji = np.zeros((1, 3), np.float32)
+        shape_xyz = np.array([W, H, D], np.float32)
+        pts = (kji - (shape_xyz - 1) / 2) * res_xyz  # centered world grid coords
+        mat_self = np.asarray(self.transformation.matrix(trans_first=False)).reshape(
+            -1, 3, 4
+        )[0]
+        xyz = pts @ mat_self[:, :3].T + mat_self[:, 3]
+        R_new = np.asarray(transformation_new.matrix()).reshape(-1, 3, 4)[0, :, :3]
+        xyz = xyz @ np.linalg.inv(R_new).T
+        lo = xyz.min(0) - rn * 10
+        hi = xyz.max(0) + rn * 10
+
+        shape_new = (np.ceil(np.ceil((hi - lo) / rn) / 32) * 32).astype(int)  # (X,Y,Z)
+
+        # --- new-frame grid, rotate to world, pull back, trilinear sample ---
+        mat = np.zeros((1, 3, 4), np.float32)
+        mat[0, :, :3] = R_new
+        mat[0, :, 3] = lo + (shape_new.astype(np.float32) - 1) / 2 * rn
+        axes = [
+            np.arange(s, dtype=np.float32) * r + lo[i]
+            for i, (s, r) in enumerate(zip(shape_new, rn))
+        ]
+        grid = np.stack(
+            np.meshgrid(*axes[::-1], indexing="ij")[::-1], -1
+        )  # (Z, Y, X, 3[xyz])
+        g = grid.reshape(-1, 3) @ R_new.T
+        # inverse of self.transformation (trans_first=False): x -> Rᵀ(x - t)
+        g = (g - mat_self[:, 3]) @ mat_self[:, :3]
+        # voxel coordinates (align_corners: world extent spans voxel centers)
+        vox = g / res_xyz + (shape_xyz - 1) / 2
+        v = _trilinear_host(img, vox[:, 0], vox[:, 1], vox[:, 2])
+        v = v.reshape(grid.shape[:-1])
+        return Volume(
+            jnp.asarray(v),
+            jnp.asarray(v > 0),
+            RigidTransform(jnp.asarray(mat), trans_first=True),
+            float(rn[0]),
+            float(rn[1]),
+            float(rn[2]),
         )
 
     def clone(self, zero: bool = False) -> "Volume":

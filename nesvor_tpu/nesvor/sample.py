@@ -183,8 +183,11 @@ def sample_volume(model: INRModel, mask: Volume, args: Namespace) -> Volume:
     import time
 
     t0 = time.time()
-    img = mask.resample(args.output_resolution, None)
-    np.asarray(img.image.ravel()[0])  # sync (block_until_ready is a no-op here)
+    # host=True: the occupancy mask is a small binary volume, and the device
+    # resample's only cost at this size is a first-run remote compile
+    # (17.1 s in BENCH_r03 vs 0.02 s of numpy work) — host math is identical
+    # (pinned by tests/test_image.py::test_resample_host_matches_device)
+    img = mask.resample(args.output_resolution, None, host=True)
     t05 = time.time()
     xyz = img.xyz_masked  # numpy (count-dependent shape stays off-device)
     t1 = time.time()

@@ -130,3 +130,33 @@ def test_xyz_masked_host_path_matches_device_transform():
         )
         assert got.shape == want.shape == (int(np.asarray(mask).sum()), 3)
         assert_close(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_resample_host_matches_device():
+    """Volume.resample(host=True) is the numpy twin of the jitted resample
+    (sample_volume uses it for the occupancy mask so no remote compile is
+    paid); both paths must agree on shape, affine, and values."""
+    rng = np.random.default_rng(1)
+    for i, (ax, _) in enumerate(get_transform_test_data()[:3]):
+        t = RigidTransform(jnp.asarray(ax[:1]), trans_first=i % 2 == 1)
+        img = jnp.asarray(np.abs(rng.normal(size=(12, 14, 10))).astype(np.float32))
+        mask = jnp.asarray(rng.random((12, 14, 10)) > 0.3)
+        vol = Volume(img, mask, t, 0.8, 1.0, 1.2)
+        for res_new in (0.9, 1.5):
+            dev = vol.resample(res_new, None)
+            host = vol.resample(res_new, None, host=True)
+            assert host.image.shape == dev.image.shape
+            assert_close(
+                host.transformation.matrix(),
+                dev.transformation.matrix(),
+                atol=1e-4,
+                rtol=1e-4,
+            )
+            assert_close(host.image, dev.image, atol=1e-4, rtol=1e-3)
+            # mask = v > 0 can flip at fade-out-band voxels where the true
+            # value is ~0 and fp noise crosses the threshold; require
+            # agreement wherever the value is decisively nonzero
+            decisive = np.asarray(jnp.abs(dev.image)) > 1e-4
+            assert bool(
+                np.all(np.asarray(host.mask)[decisive] == np.asarray(dev.mask)[decisive])
+            )
