@@ -46,6 +46,7 @@ def _save_stacks(stacks, folder):
     return paths
 
 
+@pytest.mark.medium
 def test_reconstruct_cli(tmp_path):
     stacks, gt = make_phantom_stacks(
         vs=32, n_stacks=4, gap=3.0, res=1.0, res_s=1.0, intensity=700.0
@@ -138,3 +139,66 @@ def test_reconstruct_cli(tmp_path):
         ]
     )
     assert len(os.listdir(sim_dir)) == n_slices
+
+
+def test_reconstruct_from_slices_cli(tmp_path):
+    """The register->reconstruct interchange: `register --output-slices`
+    writes one {i}.nii.gz per slice with the pose baked into the affine
+    (reference cli/io.py:9-30, image.py:296-324); `reconstruct
+    --input-slices <folder>` must reload them and reconstruct to the same
+    PSNR band as the stacks path (VERDICT r03 item 6 — this leg was never
+    driven end-to-end)."""
+    stacks, gt = make_phantom_stacks(
+        vs=32, n_stacks=4, gap=3.0, res=1.0, res_s=1.0, intensity=700.0
+    )
+    folder = str(tmp_path)
+    paths = _save_stacks(stacks, folder)
+
+    slices_dir = os.path.join(folder, "slices")
+    cli_main(
+        [
+            "register",
+            "--input-stacks", *paths,
+            "--registration", "none",
+            "--output-slices", slices_dir,
+            "--verbose", "0",
+        ]
+    )
+    assert len(os.listdir(slices_dir)) > 0
+
+    out_vol = os.path.join(folder, "out_from_slices.nii.gz")
+    cli_main(
+        [
+            "reconstruct",
+            "--input-slices", slices_dir,
+            "--output-volume", out_vol,
+            "--n-iter", "300",
+            "--batch-size", "512",
+            "--n-samples", "16",
+            "--output-resolution", "1.0",
+            "--output-intensity-mean", "700.0",
+            "--inference-batch-size", "8192",
+            "--n-inference-samples", "32",
+            "--no-output-psf",
+            "--seed", "0",
+            "--verbose", "0",
+        ]
+    )
+    assert os.path.exists(out_vol)
+
+    recon = load_volume(out_vol)
+    vs = gt.shape[0]
+    grid = (
+        np.stack(
+            np.meshgrid(np.arange(vs), np.arange(vs), np.arange(vs), indexing="ij"),
+            -1,
+        )[..., ::-1]
+        - (vs - 1) / 2
+    ).astype(np.float32)
+    vals = recon.sample_points(jnp.asarray(grid.reshape(-1, 3)))
+    gt_flat = np.asarray(gt).reshape(-1)
+    inside = gt_flat > 0.05 * gt_flat.max()
+    v = np.asarray(vals)
+    v = v * (gt_flat[inside].mean() / max(v[inside].mean(), 1e-6))
+    p = psnr(v, gt_flat, inside)
+    assert p > 14.0, f"PSNR too low via --input-slices: {p:.2f} dB"
