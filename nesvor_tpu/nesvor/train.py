@@ -693,6 +693,9 @@ def train(
         # tunnel stalls (VERDICT r03 weak-#2 — raw wall varied 160-201 s
         # across same-code runs purely from remote-tunnel stalls)
         LAST_RUN_STATS.setdefault("chunks", []).append((n_steps, dt_chunk))
+        LAST_RUN_STATS["final_losses"] = {
+            k: float(v[-1]) for k, v in losses.items()
+        }
         done += n_steps
         if ckpt_path and done < args.n_iter and (
             ckpt_every <= 0 or done - last_ckpt >= ckpt_every

@@ -537,7 +537,16 @@ def gate_and_install(params: Dict, version: str = "v1", vs: int = 48) -> Dict:
     save_params(out, params)
     if install:
         with open(out + ".gate.json", "w") as f:
-            json.dump({"version": version, "vs": vs, "result": res}, f, indent=1)
+            json.dump(
+                {
+                    "version": version,
+                    "vs": vs,
+                    "result": res,
+                    "gate_score": gate_score(res),
+                },
+                f,
+                indent=1,
+            )
         print(f"saved {out}", flush=True)
     else:
         print(f"not installed; weights at {out}", flush=True)

@@ -9,6 +9,12 @@ evaluates the inference (while_loop CG) form of the model — what
 ``--registration svort`` deploys — see held_out_gate's docstring.
 
 Usage: python scripts/gate_svort.py [snapshot_path] [version] [vs]
+       python scripts/gate_svort.py --regate [version] [vs]
+
+--regate re-evaluates the INSTALLED checkpoint for ``version`` and rewrites
+its .gate.json from the live run — used when an install record predates the
+machine-written artifact (VERDICT r03 item 7: v1's record was transcribed
+from a run log).
 """
 
 import logging
@@ -19,13 +25,18 @@ sys.path.insert(0, ".")
 
 def main():
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
-    snap = (
-        sys.argv[1]
-        if len(sys.argv) > 1
-        else "nesvor_tpu/checkpoints/SVoRT_v1.training.npz"
-    )
-    version = sys.argv[2] if len(sys.argv) > 2 else "v1"
-    vs = int(sys.argv[3]) if len(sys.argv) > 3 else 48
+    if len(sys.argv) > 1 and sys.argv[1] == "--regate":
+        version = sys.argv[2] if len(sys.argv) > 2 else "v1"
+        vs = int(sys.argv[3]) if len(sys.argv) > 3 else 48
+        snap = None
+    else:
+        snap = (
+            sys.argv[1]
+            if len(sys.argv) > 1
+            else "nesvor_tpu/checkpoints/SVoRT_v1.training.npz"
+        )
+        version = sys.argv[2] if len(sys.argv) > 2 else "v1"
+        vs = int(sys.argv[3]) if len(sys.argv) > 3 else 48
 
     from nesvor_tpu._precision import ensure_f32_matmul_semantics
 
@@ -33,6 +44,37 @@ def main():
 
     from nesvor_tpu.svort.convert import load_converted
     from nesvor_tpu.svort.train import gate_and_install
+
+    if snap is None:
+        import json
+        import os
+
+        from nesvor_tpu import __checkpoint_dir
+        from nesvor_tpu.svort.train import gate_score, held_out_gate
+
+        out = os.path.join(__checkpoint_dir, f"SVoRT_{version}.npz")
+        params = load_converted(out)
+        res = held_out_gate(params, version, vs)
+        print(
+            f"installed {version} held-out: init {res['rot_init_mrad']:.1f} "
+            f"mrad / {res['trans_init_mm']:.2f} mm -> {res['rot_mrad']:.1f} "
+            f"mrad / {res['trans_mm']:.2f} mm "
+            f"(score {gate_score(res):.4f}, improved={res['improved']})",
+            flush=True,
+        )
+        with open(out + ".gate.json", "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "vs": vs,
+                    "result": res,
+                    "gate_score": gate_score(res),
+                },
+                f,
+                indent=1,
+            )
+        print(f"rewrote {out}.gate.json", flush=True)
+        return
 
     params = load_converted(snap)
     gate_and_install(params, version, vs)

@@ -106,6 +106,105 @@ def make_phantom_stacks(
     return stacks, volume
 
 
+def make_brain_stacks(
+    vs: int = 96,
+    n_stacks: int = 6,
+    gap: float = 3.0,
+    res: float = 1.0,
+    res_s: float = 1.0,
+    intensity: float = 700.0,
+    rng_seed: int = 0,
+    motion_std: Tuple[float, float] = (0.0, 0.0),
+    bias_strength: float = 0.0,
+) -> Tuple[List[Stack], jnp.ndarray, List[jnp.ndarray], np.ndarray]:
+    """Simulate stacks of the brain-like phantom (tests/brainphantom.py):
+    folded cortex, multi-tissue T2 contrast, optional per-stack
+    multiplicative bias field (N4-style coil inhomogeneity, applied to the
+    acquired volume per stack, NOT to the returned ground truth — the
+    reference's bias head models exactly this, nesvor/models.py:248-258,
+    343-349).
+
+    Returns (stacks, ground-truth volume, per-stack brain masks in stack
+    geometry, brain mask on the ground-truth grid) — the per-stack masks are
+    what ``--stack-masks`` consumes; the volume mask is the region where a
+    mask-trained reconstruction has data (quality gates must stay inside it:
+    the scalp is bright but never trained when stack masks are used).
+    """
+    from .brainphantom import bias_field, brain_phantom
+
+    gt, tissues = brain_phantom(vs, seed=rng_seed, return_tissues=True)
+    gt = jnp.asarray(gt, jnp.float32) * intensity
+    brain_frac = (
+        tissues["gm"]
+        + tissues["wm"]
+        + tissues["deep_gm"]
+        + tissues["ventricles"]
+        + tissues["csf"]
+    )
+    brain_mask = brain_frac > 0.3
+    mask_vol = jnp.asarray(brain_mask.astype(np.float32))[None, None]
+
+    s_thick = gap
+    n_slice = int((np.sqrt(3) * vs * res) / gap) + 4
+    ss = int((np.sqrt(3) * vs * res) / res_s) + 4
+    psf = jnp.asarray(get_psf(res_ratio=(res_s / res, res_s / res, s_thick / res)))
+
+    base_angles = [
+        [0, 0, 0],
+        [np.pi / 2, 0, 0],
+        [0, np.pi / 2, 0],
+        [0, 0, np.pi / 2],
+        [np.pi / 4, np.pi / 4, 0],
+        [0, np.pi / 4, np.pi / 4],
+        [np.pi / 4, 0, np.pi / 4],
+        [np.pi / 3, np.pi / 3, 0],
+        [0, np.pi / 3, np.pi / 3],
+        [np.pi / 3, 0, np.pi / 3],
+    ]
+    rng = np.random.default_rng(rng_seed)
+
+    stacks = []
+    stack_masks = []
+    for i in range(n_stacks):
+        vol_i = gt
+        if bias_strength:
+            b = bias_field(vs, seed=rng_seed * 100 + i, strength=bias_strength)
+            vol_i = gt * jnp.asarray(b)
+        angle = np.tile(
+            np.asarray(base_angles[i % len(base_angles)], np.float32), (n_slice, 1)
+        )
+        tz = (np.arange(n_slice, dtype=np.float32) - (n_slice - 1) / 2.0) * gap
+        tx = ty = np.full_like(tz, 0.5)
+        ax = np.concatenate([angle, np.stack((tx, ty, tz), -1)], -1)
+        if motion_std[0] or motion_std[1]:
+            ax[:, :3] += rng.normal(0, motion_std[0], size=(n_slice, 3))
+            ax[:, 3:] += rng.normal(0, motion_std[1], size=(n_slice, 3))
+        transform = RigidTransform(jnp.asarray(ax), trans_first=True)
+        mat = mat_update_resolution(transform.matrix(), 1, res)
+        slices = slice_acquisition(
+            mat, vol_i[None, None], None, None, psf, (ss, ss), res_s / res,
+            False, False,
+        )
+        # brain mask in stack geometry: acquire the binary mask volume
+        # through the same PSF projector, threshold at half-occupancy
+        m = slice_acquisition(
+            mat, mask_vol, None, None, psf, (ss, ss), res_s / res, False, False
+        )
+        stack_masks.append(m > 0.5)
+        stacks.append(
+            Stack(
+                slices=slices,
+                mask=slices > 0,
+                transformation=transform,
+                resolution_x=res_s,
+                resolution_y=res_s,
+                thickness=s_thick,
+                gap=gap,
+            )
+        )
+    return stacks, gt, stack_masks, brain_mask
+
+
 def stacks_to_slices(stacks: List[Stack]) -> List[Slice]:
     """Flatten stacks to the Slice list shape the trainer consumes,
     including the q99 intensity normalization the registration pipeline
