@@ -16,6 +16,12 @@ not extrapolated (VERDICT r03 item 4):
 - everything is smooth/band-limited by construction (level-set fades), so
   PSNR against it is meaningful at acquisition resolution.
 
+Lives in the package (not tests/) because it is ALSO the training-data
+generator for SVoRT (svort/train.py synth_volume brain examples): the
+registrar should see feature-rich, brain-like volumes, not only smooth
+ellipsoids — the reference's pretrained weights were trained on real fetal
+anatomy (reference svort/inference.py:565-593).
+
 Pure numpy, no torch/JAX — same contract as tests/phantom3d.py.
 """
 
@@ -35,7 +41,9 @@ def _smooth_noise(shape, sigma_vox, rng):
         kk = kk + (fr.astype(np.float32) ** 2).reshape(sh)
     # Gaussian transfer function exp(-2 (pi sigma k)^2)
     f *= np.exp(-2.0 * (np.pi * sigma_vox) ** 2 * kk)
-    out = np.fft.irfftn(f, shape).astype(np.float32)
+    out = np.fft.irfftn(
+        f, shape, axes=tuple(range(len(shape)))
+    ).astype(np.float32)
     return out / max(out.std(), 1e-6)
 
 
@@ -53,23 +61,46 @@ def _fade(level, width):
     return np.clip((1.0 + width - level) / width, 0.0, 1.0).astype(np.float32)
 
 
-def brain_phantom(n: int = 96, seed: int = 0, return_tissues: bool = False):
+def brain_phantom(
+    n: int = 96,
+    seed: int = 0,
+    return_tissues: bool = False,
+    shape_jitter: float = 0.0,
+):
     """A (n, n, n) float32 volume in [0, 1]: synthetic T2-like fetal head.
 
     ``return_tissues`` additionally returns a dict of the soft tissue
     fraction maps (scalp/skull/csf/gm/wm/deep_gm/ventricles) for studies
-    that need per-tissue metrics.
+    that need per-tissue metrics. ``shape_jitter`` > 0 perturbs every
+    ellipsoid semi-axis by U(1±jitter) (seed-dependent anatomy — used when
+    the phantom serves as a TRAINING-data generator so the registrar
+    cannot memorize one head shape; keep 0 for quality studies, whose
+    ground truth must be reproducible from the seed alone... which jitter
+    also is, but fixed geometry keeps studies comparable across seeds).
     """
     rng = np.random.default_rng(seed)
+
+    def J(semi):
+        if not shape_jitter:
+            return semi
+        return tuple(
+            s * rng.uniform(1.0 - shape_jitter, 1.0 + shape_jitter)
+            for s in semi
+        )
+
     # normalized coords in [-1, 1] (z, y, x order to match phantom3d layout)
     lin = np.linspace(-1.0, 1.0, n, dtype=np.float32)
     z, y, x = np.meshgrid(lin, lin, lin, indexing="ij")
     coords = (x, y, z)
 
     # ----- head envelope (slightly egg-shaped: broader occiput) -----
-    head = _ellipsoid_q(coords, (0.0, -0.02, 0.0), (0.72, 0.88, 0.70))
-    skull = _ellipsoid_q(coords, (0.0, -0.02, 0.0), (0.66, 0.82, 0.64))
-    brain0 = _ellipsoid_q(coords, (0.0, -0.02, 0.02), (0.58, 0.74, 0.56))
+    hj = J((1.0, 1.0, 1.0))  # one common head-scale jitter keeps shells nested
+    head = _ellipsoid_q(coords, (0.0, -0.02, 0.0), tuple(
+        a * b for a, b in zip((0.72, 0.88, 0.70), hj)))
+    skull = _ellipsoid_q(coords, (0.0, -0.02, 0.0), tuple(
+        a * b for a, b in zip((0.66, 0.82, 0.64), hj)))
+    brain0 = _ellipsoid_q(coords, (0.0, -0.02, 0.02), tuple(
+        a * b for a, b in zip((0.58, 0.74, 0.56), hj)))
 
     # ----- gyrification: perturb the brain level set with band-limited
     # noise, amplitude growing toward the surface so deep WM stays smooth.
@@ -93,19 +124,19 @@ def brain_phantom(n: int = 96, seed: int = 0, return_tissues: bool = False):
     wm = in_wm_core
 
     # ----- deep gray nuclei (thalami + basal ganglia, two mirrored blobs)
+    dgs = J((0.14, 0.20, 0.14))
     deep = np.maximum(
-        1.0 - _ellipsoid_q(coords, (0.16, 0.02, -0.02), (0.14, 0.20, 0.14)),
-        1.0 - _ellipsoid_q(coords, (-0.16, 0.02, -0.02), (0.14, 0.20, 0.14)),
+        1.0 - _ellipsoid_q(coords, (0.16, 0.02, -0.02), dgs),
+        1.0 - _ellipsoid_q(coords, (-0.16, 0.02, -0.02), dgs),
     )
     deep_gm = np.clip(deep / w, 0.0, 1.0) * wm
 
     # ----- lateral ventricles: two curved (sheared) CSF cavities
     xs = x - 0.35 * y * y  # parabolic bend along y gives the C-shape
+    vvs = J((0.07, 0.34, 0.10))
     vent = np.maximum(
-        1.0
-        - _ellipsoid_q((xs, y, z), (0.17, 0.12, 0.10), (0.07, 0.34, 0.10)),
-        1.0
-        - _ellipsoid_q((xs, y, z), (-0.17, 0.12, 0.10), (0.07, 0.34, 0.10)),
+        1.0 - _ellipsoid_q((xs, y, z), (0.17, 0.12, 0.10), vvs),
+        1.0 - _ellipsoid_q((xs, y, z), (-0.17, 0.12, 0.10), vvs),
     )
     ventricles = np.clip(vent / w, 0.0, 1.0) * wm
     deep_gm = deep_gm * (1.0 - ventricles)  # CSF wins where the two abut
@@ -115,7 +146,8 @@ def brain_phantom(n: int = 96, seed: int = 0, return_tissues: bool = False):
     skull_sh = in_head * (1.0 - in_skull)
     # scalp = thin bright rim outside the skull envelope
     scalp_outer = _fade(
-        _ellipsoid_q(coords, (0.0, -0.02, 0.0), (0.78, 0.94, 0.76)), w
+        _ellipsoid_q(coords, (0.0, -0.02, 0.0), tuple(
+            a * b for a, b in zip((0.78, 0.94, 0.76), hj))), w
     )
     scalp = scalp_outer * (1.0 - in_head)
 

@@ -1,0 +1,201 @@
+"""Brain-like phantom quality study at full (reference-default) config.
+
+VERDICT r03 item 4: every quality number through round 3 was measured on
+ellipsoid/Shepp-Logan phantoms, while the reference's workload is fetal
+brain MRI (reference README.md:41-43). This study reconstructs the
+multi-tissue gyrified brain phantom (nesvor_tpu/utils/brain_phantom.py)
+from PSF-acquired stacks with per-stack N4-style bias fields, at the
+flagship training config, and reports PSNR + SSIM inside the brain mask
+for both encoder families (fourier flagship / cellhash reference
+semantics), with and without the bias-field head.
+
+usage: python scripts/exp_brain_quality.py <encoder> [n_iter] [--cpu]
+           [--bias-strength F] [--n-levels-bias N] [--vs N] [--res F]
+Results are documented in PERF.md.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def _opt(name, default, cast=float):
+    if name in sys.argv:
+        return cast(sys.argv[sys.argv.index(name) + 1])
+    return default
+
+
+def ssim3d(a: "np.ndarray", b: "np.ndarray", mask: "np.ndarray", drange: float):
+    """Mean local SSIM over a 7-voxel box window, restricted to ``mask``.
+    Uniform window (box) keeps it dependency-free; constants per Wang et al."""
+    import numpy as np
+    from scipy.ndimage import uniform_filter
+
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    c1, c2 = (0.01 * drange) ** 2, (0.03 * drange) ** 2
+    mu_a = uniform_filter(a, 7)
+    mu_b = uniform_filter(b, 7)
+    va = uniform_filter(a * a, 7) - mu_a**2
+    vb = uniform_filter(b * b, 7) - mu_b**2
+    vab = uniform_filter(a * b, 7) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * vab + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (va + vb + c2)
+    )
+    return float(s[mask].mean())
+
+
+def main():
+    encoder = sys.argv[1] if len(sys.argv) > 1 else "fourier"
+    n_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+
+    import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+
+    from nesvor_tpu._precision import ensure_f32_matmul_semantics
+
+    ensure_f32_matmul_semantics()
+
+    import jax.numpy as jnp
+    import numpy as np
+    from argparse import Namespace
+
+    from nesvor_tpu.image import Stack
+    from nesvor_tpu.nesvor.sample import sample_points
+    from nesvor_tpu.nesvor.train import LAST_RUN_STATS, train
+    from nesvor_tpu.svort.inference import average_rotation
+    from nesvor_tpu.transform import RigidTransform, transform_points
+    from tests.synth import make_brain_stacks, psnr, stacks_to_slices
+
+    vs = int(_opt("--vs", 128, int))
+    res = _opt("--res", 0.5)
+    bias_strength = _opt("--bias-strength", 0.4)
+    n_levels_bias = int(_opt("--n-levels-bias", 2, int))
+    gap = _opt("--gap", 3 * res)
+    res_s = _opt("--res-s", res)
+
+    # the brain phantom at vs=128 / 0.5 mm is a 64 mm head (mid-gestation
+    # scale); acquisitions at in-plane = recon res, 3x slice gap, per-stack
+    # multiplicative bias. Simulation through the remote tunnel costs
+    # minutes, so cache the stacks on disk keyed by the sim config.
+    cache = (
+        f"/tmp/brainq_{vs}_{res}_{res_s}_{gap}_{bias_strength}.npz"
+    )
+    t0 = time.time()
+    if os.path.exists(cache):
+        d = np.load(cache)
+        gt = jnp.asarray(d["gt"])
+        brain_mask = d["brain_mask"]
+        stacks = [
+            Stack(
+                slices=jnp.asarray(d[f"s{i}"]),
+                mask=jnp.asarray(d[f"m{i}"] > 0.5),
+                transformation=RigidTransform(
+                    jnp.asarray(d[f"ax{i}"]), trans_first=True
+                ),
+                resolution_x=res_s, resolution_y=res_s,
+                thickness=gap, gap=gap,
+            )
+            for i in range(int(d["n"]))
+        ]
+        print(f"loaded {len(stacks)} cached stacks in {time.time()-t0:.1f} s")
+    else:
+        stacks, gt, stack_masks, brain_mask = make_brain_stacks(
+            vs=vs, n_stacks=6, gap=gap, res=res, res_s=res_s,
+            intensity=700.0, rng_seed=0, bias_strength=bias_strength,
+        )
+        payload = {
+            "gt": np.asarray(gt), "brain_mask": brain_mask, "n": len(stacks),
+        }
+        for i, st in enumerate(stacks):
+            payload[f"s{i}"] = np.asarray(st.slices)
+            payload[f"m{i}"] = np.asarray(st.mask, np.float32)
+            payload[f"ax{i}"] = np.asarray(st.transformation.axisangle())
+        np.savez_compressed(cache, **payload)
+        print(f"simulated {len(stacks)} stacks in {time.time()-t0:.1f} s")
+    slices = stacks_to_slices(stacks)
+
+    args = Namespace(
+        n_features_per_level=2, log2_hashmap_size=19, level_scale=1.3819,
+        coarsest_resolution=16.0, finest_resolution=res,
+        n_levels_bias=n_levels_bias,
+        encoder=encoder, fourier_dirs=8,
+        depth=3 if encoder == "fourier" else 1,
+        width=256 if encoder == "fourier" else 64,
+        head_width=64, head_depth=1, var_warmup_iters=100,
+        n_features_z=15, n_features_slice=16,
+        no_transformation_optimization=False, no_slice_scale=False,
+        no_pixel_variance=False, no_slice_variance=False,
+        single_precision=False,
+        weight_transformation=0.1, weight_bias=100.0,
+        image_regularization="edge", weight_image=2.0, delta=0.2,
+        learning_rate=5e-3, gamma=0.33, milestones=[0.5, 0.75, 0.9],
+        n_iter=n_iter, batch_size=4096, n_samples=256,
+        seed=0, mask_threshold=1.0,
+    )
+
+    t0 = time.time()
+    model, out_slices, mask = train(slices, args)
+    jax.block_until_ready(model.params)
+    train_s = time.time() - t0
+
+    # gauge fix (same recipe as bench.py / exp_quality_128.py): remove the
+    # mean SE(3) pose drift before evaluating on the ground-truth grid
+    ax_opt = np.asarray(
+        jnp.concatenate([s.transformation.axisangle() for s in out_slices], 0)
+    )
+    ax_init = np.asarray(
+        jnp.concatenate([s.transformation.axisangle() for s in slices], 0)
+    )
+    diff = RigidTransform(jnp.asarray(ax_opt)).compose(
+        RigidTransform(jnp.asarray(ax_init)).inv()
+    )
+    diff_ax = np.asarray(diff.axisangle())
+    mean_r = np.asarray(average_rotation(diff_ax[:, :3]))[0]
+    mean_t = diff_ax[:, 3:].mean(0)
+    drift = RigidTransform(
+        jnp.asarray(np.concatenate([mean_r, mean_t])[None], jnp.float32)
+    )
+
+    coords = ((np.stack(
+        np.meshgrid(np.arange(vs), np.arange(vs), np.arange(vs), indexing="ij"),
+        -1,
+    )[..., ::-1] - (vs - 1) / 2) * res).astype(np.float32)
+    gt_flat = np.asarray(gt).reshape(-1)
+    inside = brain_mask.reshape(-1) & (gt_flat > 0)
+
+    args.no_output_psf = True
+    args.output_resolution = res
+    args.inference_batch_size = 32768
+    args.n_inference_samples = 32
+
+    def eval_metrics(points):
+        pred = np.asarray(sample_points(model, points, args))
+        pred = pred * (gt_flat[inside].mean() / max(pred[inside].mean(), 1e-9))
+        p = psnr(pred, gt_flat, inside)
+        s = ssim3d(
+            pred.reshape(vs, vs, vs), gt_flat.reshape(vs, vs, vs),
+            brain_mask & (gt_flat.reshape(vs, vs, vs) > 0),
+            drange=float(gt_flat[inside].max()),
+        )
+        return p, s
+
+    grid = jnp.asarray(coords.reshape(-1, 3))
+    p_raw, s_raw = eval_metrics(grid)
+    p_fix, s_fix = eval_metrics(transform_points(drift, grid))
+    losses = LAST_RUN_STATS.get("final_losses", {})
+    print(f"encoder={encoder} iters={n_iter} bias={bias_strength} "
+          f"n_levels_bias={n_levels_bias} train_s={train_s:.1f} "
+          f"steady_ms={LAST_RUN_STATS.get('steady_ms_per_step', -1):.1f}")
+    print(f"PSNR raw={p_raw:.2f} gauge_fixed={p_fix:.2f}  "
+          f"SSIM raw={s_raw:.4f} gauge_fixed={s_fix:.4f}  "
+          f"drift_rot_mrad={np.linalg.norm(mean_r)*1e3:.1f}  "
+          f"biasReg={losses.get('biasReg', 0.0):.4f}")
+
+
+if __name__ == "__main__":
+    main()

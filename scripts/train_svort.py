@@ -78,12 +78,45 @@ def main():
         checkpoint_path=inprogress, save_every=max(25, steps // 20),
         refresh_every=4, init_params_path=resume_path,
         init_opt_path=init_opt,
+        # half the simulated examples are brain-like (folded cortex,
+        # multi-tissue) rather than smooth ellipsoids — the half/half mix
+        # keeps geometric diversity while closing the feature-richness
+        # domain gap with the reference's fetal-trained weights
+        brain_frac=0.5,
+        # held-out error-vs-steps curve (fixed 888k-seed examples),
+        # appended to the cumulative per-version curve file below
+        eval_every=max(25, steps // 40),
     )
     t0 = time.time()
     model, params, history = train_svort(cfg)
     print(f"trained {steps} steps in {time.time()-t0:.0f} s; "
           f"loss {history['loss'][0]:.3f} -> {history['loss'][-1]:.3f}",
           flush=True)
+
+    # append this session's held-out curve to the cumulative record; the
+    # step axis continues from the last line when warm-starting so the
+    # cross-session convergence curve reads as one training run
+    import json
+
+    curve_path = os.path.join(__checkpoint_dir, f"SVoRT_{version}.curve.jsonl")
+    step0 = 0
+    if resume_path and os.path.exists(curve_path):
+        with open(curve_path) as f:
+            lines = [json.loads(ln) for ln in f if ln.strip()]
+        if lines:
+            step0 = int(lines[-1]["step"])
+    with open(curve_path, "a") as f:
+        for st, rot, tr in history["eval"]:
+            f.write(json.dumps({
+                "step": step0 + st, "rot_mrad": round(rot, 2),
+                "trans_mm": round(tr, 3), "seed": seed,
+                "brain_frac": cfg.brain_frac,
+            }) + "\n")
+    if history["eval"]:
+        print(f"held-out curve appended to {curve_path}: "
+              f"{[(step0 + s, round(r, 1)) for s, r, _ in history['eval']][:8]}"
+              f"... final {history['eval'][-1][1]:.1f} mrad / "
+              f"{history['eval'][-1][2]:.2f} mm", flush=True)
 
     # held-out pose-error eval + install decision: the single shared gate
     # (nesvor_tpu.svort.train.gate_and_install) — same config, seeds, and

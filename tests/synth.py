@@ -117,7 +117,7 @@ def make_brain_stacks(
     motion_std: Tuple[float, float] = (0.0, 0.0),
     bias_strength: float = 0.0,
 ) -> Tuple[List[Stack], jnp.ndarray, List[jnp.ndarray], np.ndarray]:
-    """Simulate stacks of the brain-like phantom (tests/brainphantom.py):
+    """Simulate stacks of the brain-like phantom (nesvor_tpu.utils.brain_phantom):
     folded cortex, multi-tissue T2 contrast, optional per-stack
     multiplicative bias field (N4-style coil inhomogeneity, applied to the
     acquired volume per stack, NOT to the returned ground truth — the
@@ -130,7 +130,7 @@ def make_brain_stacks(
     mask-trained reconstruction has data (quality gates must stay inside it:
     the scalp is bright but never trained when stack masks are used).
     """
-    from .brainphantom import bias_field, brain_phantom
+    from nesvor_tpu.utils.brain_phantom import bias_field, brain_phantom
 
     gt, tissues = brain_phantom(vs, seed=rng_seed, return_tissues=True)
     gt = jnp.asarray(gt, jnp.float32) * intensity

@@ -71,6 +71,52 @@ def test_svort_training_with_volume_loss_smoke():
             assert bool(np.isfinite(np.asarray(leaf)).all()), version
 
 
+def test_example_q99_normalization_invariant():
+    """The in-graph per-stack q99 normalization (one-dispatch example
+    simulator) must reproduce the host np.quantile semantics it replaced:
+    the 99th percentile of each stack's positive values is 1 after
+    normalization, and the motion-free input transforms carry zeroed
+    in-plane pose (inference parse_data reset semantics)."""
+    cfg = _tiny_cfg()
+    ex = make_training_example(cfg, seed=7)
+    n = cfg.n_stacks
+    stacks = np.asarray(ex["data"]["stacks"]).reshape(n, -1)
+    for k in range(n):
+        pos = stacks[k][stacks[k] > 0]
+        assert pos.size > 100
+        np.testing.assert_allclose(np.quantile(pos, 0.99), 1.0, rtol=2e-5)
+    # theta targets and vol_gt are finite and scale-consistent
+    assert np.isfinite(np.asarray(ex["theta_gt"])).all()
+    vol_gt = np.asarray(ex["vol_gt"])
+    assert np.isfinite(vol_gt).all() and vol_gt.max() > 0.1
+
+
+def test_brain_training_examples_smoke():
+    """brain_frac routes examples through the brain-like generator
+    (utils/brain_phantom.py with shape jitter): stacks and targets must be
+    finite, normalized, and anatomy must vary across seeds."""
+    cfg = _tiny_cfg(brain_frac=1.0)
+    ex1 = make_training_example(cfg, seed=1)
+    ex2 = make_training_example(cfg, seed=2)
+    for ex in (ex1, ex2):
+        s = np.asarray(ex["data"]["stacks"])
+        assert np.isfinite(s).all()
+        assert 0.0 <= s.min() and s.max() < 10.0  # q99-normalized
+        assert np.isfinite(np.asarray(ex["theta_gt"])).all()
+        assert np.isfinite(np.asarray(ex["vol_gt"])).all()
+    assert (
+        np.abs(np.asarray(ex1["vol_gt"]) - np.asarray(ex2["vol_gt"])).max()
+        > 0.05
+    )
+    # two steps of training on brain examples stay finite
+    cfg2 = _tiny_cfg(
+        brain_frac=1.0, steps=2, n_examples=1, vs=16,
+        volume_shape=(32, 32, 32), volume_weight=1.0, log_every=1,
+    )
+    _, params, history = train_svort(cfg2)
+    assert np.isfinite(history["loss"]).all()
+
+
 def test_opt_state_persistence_tracks_uninterrupted_training(tmp_path):
     """A 4+4-step continuation with restored Adam moments must land far
     closer to the uninterrupted 8-step trajectory than a continuation that

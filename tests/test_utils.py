@@ -89,3 +89,31 @@ def test_packed_grid_sample_matches_plain():
         lambda p: jnp.sum(grid_sample_3d(corner_pack_volume(vol), p) ** 2)
     )(xyz)
     np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=1e-4, rtol=1e-4)
+
+
+def test_brain_phantom_generator():
+    """Brain phantom (utils/brain_phantom.py): deterministic per seed,
+    multi-tissue, bounded, and shape-jitter varies anatomy across seeds
+    without breaking bounds (it doubles as SVoRT training data)."""
+    import numpy as np
+    from nesvor_tpu.utils.brain_phantom import bias_field, brain_phantom
+
+    v1, tissues = brain_phantom(48, seed=3, return_tissues=True)
+    v2 = brain_phantom(48, seed=3)
+    assert v1.shape == (48, 48, 48)
+    np.testing.assert_array_equal(v1, v2)  # seed-deterministic
+    assert 0.0 <= v1.min() and v1.max() <= 1.2
+    # every tissue class is present (scalp/skull shells are thin at n=48,
+    # where the level-set fade width is ~0.5 level units)
+    for name, frac in tissues.items():
+        assert frac.max() > 0.3, name
+    # jitter: different anatomy per seed, same bounds
+    j1 = brain_phantom(48, seed=1, shape_jitter=0.15)
+    j2 = brain_phantom(48, seed=2, shape_jitter=0.15)
+    assert np.abs(j1 - j2).max() > 0.1
+    assert 0.0 <= j1.min() and j1.max() <= 1.2
+
+    b = bias_field(48, seed=0, strength=0.3)
+    assert b.shape == (48, 48, 48)
+    assert 0.5 < b.min() < b.max() < 2.0
+    assert abs(float(np.log(b).mean())) < 0.05  # mean ~1 multiplicatively
