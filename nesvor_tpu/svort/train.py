@@ -363,26 +363,33 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
             )
 
     key = jax.random.PRNGKey(cfg.seed)
-    params = model.init(key)
     if cfg.init_params_path:
+        # warm start: validate against abstract shapes only (eval_shape) —
+        # running the real init would pay hundreds of eager RNG-op
+        # compiles (~16 min measured on the remote TPU) just to be
+        # overwritten
+        shapes = jax.eval_shape(model.init, key)
         from .convert import load_converted
 
         loaded = load_converted(cfg.init_params_path)
-        missing = set(params) - set(loaded)
-        extra = set(loaded) - set(params)
+        missing = set(shapes) - set(loaded)
+        extra = set(loaded) - set(shapes)
         if missing or extra:
             raise ValueError(
                 f"init params mismatch: missing {sorted(missing)[:3]}..., "
                 f"extra {sorted(extra)[:3]}..."
             )
-        for k in params:
-            if loaded[k].shape != params[k].shape:
+        for k in shapes:
+            if loaded[k].shape != shapes[k].shape:
                 raise ValueError(
                     f"shape mismatch for {k}: "
-                    f"{loaded[k].shape} vs {params[k].shape}"
+                    f"{loaded[k].shape} vs {shapes[k].shape}"
                 )
-        params = {k: loaded[k] for k in params}
+        params = {k: jnp.asarray(loaded[k]) for k in shapes}
         logging.info("warm-started params from %s", cfg.init_params_path)
+    else:
+        # one compiled program instead of hundreds of eager init dispatches
+        params = jax.jit(model.init)(key)
     if cfg.warmup_steps:
         lr = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
     else:
@@ -447,15 +454,31 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    eval_exs: List[Dict] = []
+    eval_sets: Dict[str, List[Dict]] = {}
     fwd_eval = None
     if cfg.eval_every:
-        # fixed held-out examples: the curve is comparable across sessions
-        # because the seeds (and the generator rng stream) are fixed
-        eval_exs = [
-            make_training_example(cfg, seed=888_000 + s)
-            for s in range(cfg.eval_examples)
-        ]
+        from dataclasses import replace
+
+        # fixed held-out examples in BOTH domains (the curve is comparable
+        # across sessions because the seeds and the generator rng stream
+        # are fixed): "ell" = smooth ellipsoids (the historical gate
+        # domain), "brain" = the feature-rich brain phantom — tracking both
+        # shows whether brain-generator training closes the domain gap
+        # without regressing the original distribution
+        eval_sets = {
+            "ell": [
+                make_training_example(
+                    replace(cfg, brain_frac=0.0), seed=888_000 + s
+                )
+                for s in range(cfg.eval_examples)
+            ],
+            "brain": [
+                make_training_example(
+                    replace(cfg, brain_frac=1.0), seed=889_000 + s
+                )
+                for s in range(cfg.eval_examples)
+            ],
+        }
 
         @jax.jit
         def fwd_eval(params, transforms, stacks, positions):
@@ -464,17 +487,20 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
             _, _, thetas = model(params, data)
             return thetas[-1]
 
-    def run_eval(params) -> Tuple[float, float]:
-        rots, trs = [], []
-        for ex in eval_exs:
-            theta = fwd_eval(
-                params, ex["data"]["transforms"], ex["data"]["stacks"],
-                ex["data"]["positions"],
-            )
-            r, t = pose_error(theta, ex["theta_gt"])
-            rots.append(r)
-            trs.append(t)
-        return float(np.mean(rots)), float(np.mean(trs))
+    def run_eval(params) -> Dict[str, Tuple[float, float]]:
+        out = {}
+        for name, exs in eval_sets.items():
+            rots, trs = [], []
+            for ex in exs:
+                theta = fwd_eval(
+                    params, ex["data"]["transforms"], ex["data"]["stacks"],
+                    ex["data"]["positions"],
+                )
+                r, t = pose_error(theta, ex["theta_gt"])
+                rots.append(r)
+                trs.append(t)
+            out[name] = (float(np.mean(rots)), float(np.mean(trs)))
+        return out
 
     history: Dict[str, List] = {"loss": [], "eval": []}
     t0 = time.time()
@@ -505,11 +531,15 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
         if cfg.eval_every and (
             (i + 1) % cfg.eval_every == 0 or i == cfg.steps - 1
         ):
-            rot, tr = run_eval(params)
-            history["eval"].append((i + 1, rot, tr))
+            ev = run_eval(params)
+            history["eval"].append((i + 1, ev))
             logging.info(
-                "svort held-out eval at step %d: %.1f mrad / %.2f mm",
-                i + 1, rot, tr,
+                "svort held-out eval at step %d: %s",
+                i + 1,
+                "  ".join(
+                    f"{k}: {r:.1f} mrad / {t:.2f} mm"
+                    for k, (r, t) in ev.items()
+                ),
             )
         if (
             cfg.checkpoint_path

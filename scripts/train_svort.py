@@ -1,7 +1,7 @@
 """Train a SVoRT checkpoint on synthetic motion and install it under
 nesvor_tpu/checkpoints/SVoRT_<version>.npz (activates `--registration svort`).
 
-Usage: python scripts/train_svort.py [steps] [n_examples] [vs] [version] [resume_path] [seed]
+Usage: python scripts/train_svort.py [steps] [n_examples] [vs] [version] [resume_path] [seed] [brain_frac]
 
 With resume_path, training warm-starts from that .npz (e.g. a previous
 run's installed checkpoint or its .training.npz mid-run snapshot). Pass a
@@ -27,6 +27,7 @@ def main():
     version = sys.argv[4] if len(sys.argv) > 4 else "v1"
     resume_path = sys.argv[5] if len(sys.argv) > 5 else ""
     seed = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    brain_frac = float(sys.argv[7]) if len(sys.argv) > 7 else 0.5
     assert seed < 100_000, "seeds 777000+ are reserved for the held-out gate"
     # working volume: covers the sqrt(3)*vs*res FOV with margin, rounded to
     # a 32-voxel bucket. One v5e (15.75 GB HBM) fits the differentiated
@@ -78,11 +79,11 @@ def main():
         checkpoint_path=inprogress, save_every=max(25, steps // 20),
         refresh_every=4, init_params_path=resume_path,
         init_opt_path=init_opt,
-        # half the simulated examples are brain-like (folded cortex,
-        # multi-tissue) rather than smooth ellipsoids — the half/half mix
+        # default: half the simulated examples are brain-like (folded
+        # cortex, multi-tissue) rather than smooth ellipsoids — the mix
         # keeps geometric diversity while closing the feature-richness
         # domain gap with the reference's fetal-trained weights
-        brain_frac=0.5,
+        brain_frac=brain_frac,
         # held-out error-vs-steps curve (fixed 888k-seed examples),
         # appended to the cumulative per-version curve file below
         eval_every=max(25, steps // 40),
@@ -106,17 +107,19 @@ def main():
         if lines:
             step0 = int(lines[-1]["step"])
     with open(curve_path, "a") as f:
-        for st, rot, tr in history["eval"]:
-            f.write(json.dumps({
-                "step": step0 + st, "rot_mrad": round(rot, 2),
-                "trans_mm": round(tr, 3), "seed": seed,
-                "brain_frac": cfg.brain_frac,
-            }) + "\n")
+        for st, ev in history["eval"]:
+            rec = {"step": step0 + st, "seed": seed,
+                   "brain_frac": cfg.brain_frac}
+            for name, (rot, tr) in ev.items():
+                rec[f"rot_mrad_{name}"] = round(rot, 2)
+                rec[f"trans_mm_{name}"] = round(tr, 3)
+            f.write(json.dumps(rec) + "\n")
     if history["eval"]:
-        print(f"held-out curve appended to {curve_path}: "
-              f"{[(step0 + s, round(r, 1)) for s, r, _ in history['eval']][:8]}"
-              f"... final {history['eval'][-1][1]:.1f} mrad / "
-              f"{history['eval'][-1][2]:.2f} mm", flush=True)
+        last = history["eval"][-1][1]
+        print(f"held-out curve appended to {curve_path}; final: "
+              + "  ".join(f"{k}: {r:.1f} mrad / {t:.2f} mm"
+                          for k, (r, t) in last.items()),
+              flush=True)
 
     # held-out pose-error eval + install decision: the single shared gate
     # (nesvor_tpu.svort.train.gate_and_install) — same config, seeds, and
