@@ -76,7 +76,9 @@ def main():
         volume_shape=(vol_vs, vol_vs, vol_vs), volume_weight=1.0,
         warmup_steps=warmup,
         seed=seed, log_every=25,
-        checkpoint_path=inprogress, save_every=max(25, steps // 20),
+        # saves run async but still move ~0.5 GB through the tunnel each;
+        # a ~50-step cadence keeps <1 save in flight at ~4 s/step
+        checkpoint_path=inprogress, save_every=max(50, steps // 8),
         refresh_every=4, init_params_path=resume_path,
         init_opt_path=init_opt,
         # default: half the simulated examples are brain-like (folded
