@@ -386,10 +386,16 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
                     f"{loaded[k].shape} vs {shapes[k].shape}"
                 )
         params = {k: jnp.asarray(loaded[k]) for k in shapes}
+        # fingerprint source for the optimizer-sidecar check: the HOST
+        # copies — fingerprinting device params fetches every tensor
+        # through the tunnel (~minutes); the f16-quantized digest of the
+        # loaded file bytes is identical
+        params_host = loaded
         logging.info("warm-started params from %s", cfg.init_params_path)
     else:
         # one compiled program instead of hundreds of eager init dispatches
         params = jax.jit(model.init)(key)
+        params_host = None
     if cfg.warmup_steps:
         lr = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
     else:
@@ -398,7 +404,10 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
     opt_state = tx.init(params)
     if cfg.init_opt_path:
         try:
-            opt_state = load_opt_state(cfg.init_opt_path, opt_state, params)
+            opt_state = load_opt_state(
+                cfg.init_opt_path, opt_state,
+                params_host if params_host is not None else params,
+            )
             logging.info("restored optimizer state from %s", cfg.init_opt_path)
         except ValueError as e:
             # a stale/mismatched sidecar must not kill an unattended
@@ -626,10 +635,32 @@ def held_out_gate(
     cfg = gate_config(version, vs)
     if model is None:
         model = SVoRT(n_iter=3) if version == "v1" else SVoRTv2(n_iter=4)
+    exs = [
+        make_training_example(cfg, seed=777_000 + s)
+        for s in range(n_examples)
+    ]
+    static = {
+        k: exs[0]["data"][k]
+        for k in ("psf_rec", "slice_shape", "resolution_slice",
+                  "resolution_recon", "slice_thickness", "volume_shape")
+    }
+
+    # one compiled forward for all examples (the eager per-op path paid
+    # minutes of remote dispatch overhead per gate example)
+    @jax.jit
+    def fwd(params, transforms, stacks, positions):
+        data = {**static, "transforms": transforms, "stacks": stacks,
+                "positions": positions}
+        _, _, thetas = model(params, data)
+        return thetas[-1]
+
     rots0, rots1, trs0, trs1 = [], [], [], []
-    for s in range(n_examples):
-        ex = make_training_example(cfg, seed=777_000 + s)
-        _, _, thetas = model(params, ex["data"])
+    for s, ex in enumerate(exs):
+        theta_last = fwd(
+            params, ex["data"]["transforms"], ex["data"]["stacks"],
+            ex["data"]["positions"],
+        )
+        thetas = [theta_last]
         theta_init = mat2point(
             ex["data"]["transforms"], ex["data"]["slice_shape"][1],
             ex["data"]["slice_shape"][0], cfg.res_s,
