@@ -113,6 +113,12 @@ class SVoRTTrainConfig:
     # deployed inference form.
     eval_every: int = 0
     eval_examples: int = 2
+    # clip the global gradient norm before Adam (0 = off). Spike guard:
+    # an unclipped run was measured losing ~100 steps to a single
+    # gradient spike (held-out error 185 -> 568 mrad before recovering;
+    # PERF.md round-4). The per-step grad norm is logged either way
+    # (history["gnorm"]) so the threshold can be set from data.
+    grad_clip: float = 0.0
 
 
 def _ellipsoid_volume_np(rng: np.random.Generator, vs: int) -> np.ndarray:
@@ -400,7 +406,13 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
         lr = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
     else:
         lr = cfg.lr
-    tx = optax.adam(lr)
+    # flat chain (not nested optax.adam) so _adam_index finds the moments
+    # at the top level whether or not the clip stage is present
+    stages = []
+    if cfg.grad_clip:
+        stages.append(optax.clip_by_global_norm(cfg.grad_clip))
+    stages += [optax.scale_by_adam(), optax.scale_by_learning_rate(lr)]
+    tx = optax.chain(*stages)
     opt_state = tx.init(params)
     if cfg.init_opt_path:
         try:
@@ -459,9 +471,10 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
         loss, grads = jax.value_and_grad(loss_fn)(
             params, transforms, stacks, positions, theta_gt, vol_gt
         )
+        gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss, gnorm
 
     eval_sets: Dict[str, List[Dict]] = {}
     fwd_eval = None
@@ -517,7 +530,7 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
     _saver: Dict[str, object] = {"thread": None}
     for i in range(cfg.steps):
         ex = examples[i % len(examples)]
-        params, opt_state, loss = step(
+        params, opt_state, loss, gnorm = step(
             params, opt_state,
             ex["data"]["transforms"], ex["data"]["stacks"],
             ex["data"]["positions"], ex["theta_gt"], ex["vol_gt"],
@@ -533,10 +546,12 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
             n_fresh += 1
         if (i + 1) % cfg.log_every == 0 or i == cfg.steps - 1:
             loss = float(loss)
+            gnorm = float(gnorm)
             history["loss"].append(loss)
+            history.setdefault("gnorm", []).append(gnorm)
             logging.info(
-                "svort train step %d/%d: loss %.4f (%.1f s)",
-                i + 1, cfg.steps, loss, time.time() - t0,
+                "svort train step %d/%d: loss %.4f |g| %.2f (%.1f s)",
+                i + 1, cfg.steps, loss, gnorm, time.time() - t0,
             )
         if cfg.eval_every and (
             (i + 1) % cfg.eval_every == 0 or i == cfg.steps - 1
