@@ -527,7 +527,6 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
     history: Dict[str, List] = {"loss": [], "eval": []}
     t0 = time.time()
     n_fresh = 0
-    _saver: Dict[str, object] = {"thread": None}
     for i in range(cfg.steps):
         ex = examples[i % len(examples)]
         params, opt_state, loss, gnorm = step(
@@ -572,40 +571,15 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
             and ((i + 1) % cfg.save_every == 0 or i == cfg.steps - 1)
         ):
             # snapshot saves fetch ~0.5 GB (params + Adam moments) through
-            # the remote tunnel — ~2-3 min each, which at a synchronous
-            # per-25-step cadence dominated the session (measured r04).
-            # Run the fetch+write in a background thread; device buffers
-            # are immutable so the captured pytrees stay consistent while
-            # training dispatches continue. If a save is still in flight
-            # at the next cadence point, skip (the next one catches up);
-            # the final-step save joins and runs synchronously so the
-            # session always ends with the last state on disk.
-            final = i == cfg.steps - 1
-            if _saver["thread"] is not None and (
-                final or not _saver["thread"].is_alive()
-            ):
-                _saver["thread"].join()
-                _saver["thread"] = None
-            if _saver["thread"] is None:
-                import threading
-
-                def _work(p=params, o=opt_state, s=i + 1):
-                    save_params(cfg.checkpoint_path, p)
-                    save_opt_state(
-                        opt_state_path(cfg.checkpoint_path), o, p
-                    )
-                    logging.info(
-                        "saved %s at step %d", cfg.checkpoint_path, s
-                    )
-
-                if final:
-                    _work()
-                else:
-                    t = threading.Thread(target=_work, daemon=True)
-                    _saver["thread"] = t
-                    t.start()
-    if _saver["thread"] is not None:
-        _saver["thread"].join()
+            # the remote tunnel — ~2-3 min each. Synchronous on purpose:
+            # a background-thread fetch was measured taking ~35 MINUTES
+            # while training dispatches competed for the tunnel (the
+            # skip-while-in-flight logic then silently dropped every
+            # later cadence point — PERF.md r04). Callers choose the
+            # cadence; scripts/train_svort.py uses ~steps/4.
+            save_params(cfg.checkpoint_path, params)
+            save_opt_state(opt_state_path(cfg.checkpoint_path), opt_state, params)
+            logging.info("saved %s at step %d", cfg.checkpoint_path, i + 1)
     return model, params, history
 
 

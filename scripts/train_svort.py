@@ -1,7 +1,7 @@
 """Train a SVoRT checkpoint on synthetic motion and install it under
 nesvor_tpu/checkpoints/SVoRT_<version>.npz (activates `--registration svort`).
 
-Usage: python scripts/train_svort.py [steps] [n_examples] [vs] [version] [resume_path] [seed] [brain_frac]
+Usage: python scripts/train_svort.py [steps] [n_examples] [vs] [version] [resume_path] [seed] [brain_frac] [grad_clip]
 
 With resume_path, training warm-starts from that .npz (e.g. a previous
 run's installed checkpoint or its .training.npz mid-run snapshot). Pass a
@@ -28,6 +28,7 @@ def main():
     resume_path = sys.argv[5] if len(sys.argv) > 5 else ""
     seed = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     brain_frac = float(sys.argv[7]) if len(sys.argv) > 7 else 0.5
+    grad_clip = float(sys.argv[8]) if len(sys.argv) > 8 else 0.0
     assert seed < 100_000, "seeds 777000+ are reserved for the held-out gate"
     # working volume: covers the sqrt(3)*vs*res FOV with margin, rounded to
     # a 32-voxel bucket. One v5e (15.75 GB HBM) fits the differentiated
@@ -76,9 +77,10 @@ def main():
         volume_shape=(vol_vs, vol_vs, vol_vs), volume_weight=1.0,
         warmup_steps=warmup,
         seed=seed, log_every=25,
-        # saves run async but still move ~0.5 GB through the tunnel each;
-        # a ~50-step cadence keeps <1 save in flight at ~4 s/step
-        checkpoint_path=inprogress, save_every=max(50, steps // 8),
+        # each save synchronously moves ~0.5 GB through the tunnel
+        # (~2-3 min); ~steps/4 cadence bounds crash loss at 25% of the
+        # session for ~3 saves of overhead
+        checkpoint_path=inprogress, save_every=max(100, steps // 4),
         refresh_every=4, init_params_path=resume_path,
         init_opt_path=init_opt,
         # default: half the simulated examples are brain-like (folded
@@ -86,6 +88,7 @@ def main():
         # keeps geometric diversity while closing the feature-richness
         # domain gap with the reference's fetal-trained weights
         brain_frac=brain_frac,
+        grad_clip=grad_clip,
         # held-out error-vs-steps curve (fixed 888k-seed examples),
         # appended to the cumulative per-version curve file below
         eval_every=max(25, steps // 40),
