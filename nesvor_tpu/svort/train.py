@@ -182,6 +182,33 @@ def _stack_geometry(cfg: SVoRTTrainConfig, rng: np.random.Generator):
 
 
 _SIM_CACHE: Dict[Tuple, Tuple] = {}  # cfg key -> (jitted sim, psf array)
+
+
+def upload_tree(host: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Move a dict of host arrays to the device as ONE transfer + one
+    jitted split. Per-array uploads pay a tunnel round-trip each — a
+    ~400-tensor checkpoint plus its ~800-moment sidecar was measured
+    stalling a session start for 20+ minutes when the tunnel degraded to
+    ~1 s/transfer; one concatenated upload is immune to that failure
+    mode."""
+    keys = sorted(host)
+    shapes = {k: np.asarray(host[k]).shape for k in keys}
+    flat = np.concatenate(
+        [np.asarray(host[k], np.float32).ravel() for k in keys]
+    ) if keys else np.zeros((0,), np.float32)
+    buf = jnp.asarray(flat)
+
+    def split(buf):
+        out, off = {}, 0
+        for k in keys:
+            n = int(np.prod(shapes[k], dtype=np.int64)) if shapes[k] else 1
+            out[k] = jax.lax.dynamic_slice_in_dim(buf, off, n).reshape(
+                shapes[k]
+            )
+            off += n
+        return out
+
+    return jax.jit(split)(buf)
 _POSITIONS_CACHE: Dict[Tuple[int, int], jnp.ndarray] = {}
 
 
@@ -391,7 +418,7 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
                     f"shape mismatch for {k}: "
                     f"{loaded[k].shape} vs {shapes[k].shape}"
                 )
-        params = {k: jnp.asarray(loaded[k]) for k in shapes}
+        params = upload_tree(loaded)  # one H2D transfer, not one per tensor
         # fingerprint source for the optimizer-sidecar check: the HOST
         # copies — fingerprinting device params fetches every tensor
         # through the tunnel (~minutes); the f16-quantized digest of the
@@ -841,7 +868,7 @@ def load_opt_state(path: str, opt_state, params: Dict = None):
                 f"{path} holds moments for a different params snapshot "
                 "(fingerprint mismatch) — refusing to graft a stale sidecar"
             )
-    mu, nu = {}, {}
+    mu_h, nu_h = {}, {}
     for k in s.mu:
         mk, nk = "mu::" + k, "nu::" + k
         if mk not in data.files or nk not in data.files:
@@ -851,8 +878,10 @@ def load_opt_state(path: str, opt_state, params: Dict = None):
                 f"moment shape mismatch for {k!r}: "
                 f"{data[mk].shape} vs {np.shape(s.mu[k])}"
             )
-        mu[k] = jnp.asarray(data[mk], jnp.float32)
-        nu[k] = jnp.asarray(data[nk], jnp.float32)
+        mu_h[k] = data[mk]
+        nu_h[k] = data[nk]
+    mu = upload_tree(mu_h)  # one transfer each, not one per moment tensor
+    nu = upload_tree(nu_h)
     extra = (
         {f for f in data.files if f not in ("count", "param_sha")}
         - {"mu::" + k for k in s.mu}

@@ -132,7 +132,12 @@ def main():
     # Evaluates the inference (while_loop CG) model form, not the
     # differentiable-SRR training form.
     res = gate_and_install(params, version, vs)
-    if res["improved"] and os.path.exists(inprogress):
+    # drop the redundant snapshot only when the weights were actually
+    # INSTALLED (res["path"] is the live checkpoint); a passing-but-not-
+    # better candidate lands at .candidate.npz and the sidecar next to
+    # the snapshot remains the continuation's optimizer source
+    installed = res.get("path", "").endswith(f"SVoRT_{version}.npz")
+    if installed and os.path.exists(inprogress):
         os.remove(inprogress)
 
 
