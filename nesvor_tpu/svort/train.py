@@ -113,6 +113,11 @@ class SVoRTTrainConfig:
     # deployed inference form.
     eval_every: int = 0
     eval_examples: int = 2
+    # examples per optimizer step (gradient averaged over a scan of
+    # complete fwd+bwd passes — flat HBM, ~k x step time). The plateau
+    # analysis (PERF.md r04) identified single-example gradient variance
+    # as a convergence lever once examples became cheap to simulate.
+    batch_examples: int = 1
     # clip the global gradient norm before Adam (0 = off). Spike guard:
     # an unclipped run was measured losing ~100 steps to a single
     # gradient spike (held-out error 185 -> 568 mrad before recovering;
@@ -493,11 +498,34 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
             )
         return loss
 
+    def batched_grads(params, batch):
+        # leading axis = examples. Gradients accumulate through a scan of
+        # complete fwd+bwd passes, so HBM holds ONE example's activations
+        # at a time (a vmap/map under value_and_grad would keep all k
+        # residual sets live) — single-example variance averages away at
+        # flat memory, ~k x step time.
+        def body(acc, ex):
+            l, g = jax.value_and_grad(loss_fn)(params, *ex)
+            return (
+                acc[0] + l,
+                jax.tree_util.tree_map(jnp.add, acc[1], g),
+            ), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (tot, gsum), _ = jax.lax.scan(body, (0.0, zeros), batch)
+        k = cfg.batch_examples
+        return tot / k, jax.tree_util.tree_map(lambda g: g / k, gsum)
+
     @jax.jit
     def step(params, opt_state, transforms, stacks, positions, theta_gt, vol_gt):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, transforms, stacks, positions, theta_gt, vol_gt
-        )
+        if cfg.batch_examples > 1:
+            loss, grads = batched_grads(
+                params, (transforms, stacks, positions, theta_gt, vol_gt)
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, transforms, stacks, positions, theta_gt, vol_gt
+            )
         gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
@@ -554,13 +582,24 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
     history: Dict[str, List] = {"loss": [], "eval": []}
     t0 = time.time()
     n_fresh = 0
+    k = max(1, cfg.batch_examples)
     for i in range(cfg.steps):
-        ex = examples[i % len(examples)]
-        params, opt_state, loss, gnorm = step(
-            params, opt_state,
-            ex["data"]["transforms"], ex["data"]["stacks"],
-            ex["data"]["positions"], ex["theta_gt"], ex["vol_gt"],
-        )
+        if k == 1:
+            ex = examples[i % len(examples)]
+            args_i = (
+                ex["data"]["transforms"], ex["data"]["stacks"],
+                ex["data"]["positions"], ex["theta_gt"], ex["vol_gt"],
+            )
+        else:
+            grp = [examples[(i * k + j) % len(examples)] for j in range(k)]
+            args_i = tuple(
+                jnp.stack([g["data"][f] for g in grp])
+                for f in ("transforms", "stacks", "positions")
+            ) + tuple(
+                jnp.stack([g[f] for g in grp])
+                for f in ("theta_gt", "vol_gt")
+            )
+        params, opt_state, loss, gnorm = step(params, opt_state, *args_i)
         if cfg.refresh_every and (i + 1) % cfg.refresh_every == 0:
             slot = n_fresh % len(examples)
             # refresh seeds live in their own namespace, disjoint from both

@@ -1,7 +1,7 @@
 """Train a SVoRT checkpoint on synthetic motion and install it under
 nesvor_tpu/checkpoints/SVoRT_<version>.npz (activates `--registration svort`).
 
-Usage: python scripts/train_svort.py [steps] [n_examples] [vs] [version] [resume_path] [seed] [brain_frac] [grad_clip]
+Usage: python scripts/train_svort.py [steps] [n_examples] [vs] [version] [resume_path] [seed] [brain_frac] [grad_clip] [lr] [batch]
 
 With resume_path, training warm-starts from that .npz (e.g. a previous
 run's installed checkpoint or its .training.npz mid-run snapshot). Pass a
@@ -29,6 +29,8 @@ def main():
     seed = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     brain_frac = float(sys.argv[7]) if len(sys.argv) > 7 else 0.5
     grad_clip = float(sys.argv[8]) if len(sys.argv) > 8 else 0.0
+    lr = float(sys.argv[9]) if len(sys.argv) > 9 else 2e-4
+    batch = int(sys.argv[10]) if len(sys.argv) > 10 else 1
     assert seed < 100_000, "seeds 777000+ are reserved for the held-out gate"
     # working volume: covers the sqrt(3)*vs*res FOV with margin, rounded to
     # a 32-voxel bucket. One v5e (15.75 GB HBM) fits the differentiated
@@ -71,7 +73,7 @@ def main():
                 break
     warmup = 0 if init_opt else min(200, max(10, steps // 10))
     cfg = SVoRTTrainConfig(
-        version=version, n_iter_model=0, steps=steps, lr=2e-4,
+        version=version, n_iter_model=0, steps=steps, lr=lr,
         n_examples=n_examples, vs=vs, n_stacks=3, gap=3.0,
         motion_rot=0.06, motion_trans=2.0, motion_jitter=0.5,
         volume_shape=(vol_vs, vol_vs, vol_vs), volume_weight=1.0,
@@ -89,6 +91,7 @@ def main():
         # domain gap with the reference's fetal-trained weights
         brain_frac=brain_frac,
         grad_clip=grad_clip,
+        batch_examples=batch,
         # held-out error-vs-steps curve (fixed 888k-seed examples),
         # appended to the cumulative per-version curve file below
         eval_every=max(25, steps // 40),
