@@ -208,6 +208,21 @@ def main():
             NOMINAL_A100_WALL_S / (extrapolated_5000 + sample_s), 3
         ),
         "measured_wall_s": round(train_s + sample_s, 2),
+        # metric semantics version: v1 (rounds 1-3) = measured wall;
+        # v2 (round 4+) = steady-rate wall excluding tunnel stalls. Both
+        # ship every round (value vs measured_wall_s) so cross-round
+        # comparisons can pick either series (ADVICE r04).
+        "metric_version": 2,
+        # the A100 anchor is NOMINAL (the paper says "a few minutes";
+        # tcnn 6k-iter runs at these batches span ~2-6 min on A100) —
+        # vs_baseline at plausible anchors, so the artifact is
+        # self-describing (VERDICT r04 weak-#7 / item 8):
+        "anchor_nominal_s": NOMINAL_A100_WALL_S,
+        "vs_baseline_at_anchor": {
+            "250s": round(250.0 / (extrapolated_5000 + sample_s), 3),
+            "300s": round(300.0 / (extrapolated_5000 + sample_s), 3),
+            "360s": round(360.0 / (extrapolated_5000 + sample_s), 3),
+        },
         "tunnel_stall_s": round(stall_s, 1),
         "train_s": round(train_s, 2),
         "psnr_db": round(p, 2),

@@ -124,6 +124,44 @@ class SVoRTTrainConfig:
     # PERF.md round-4). The per-step grad norm is logged either way
     # (history["gnorm"]) so the threshold can be set from data.
     grad_clip: float = 0.0
+    # --- round-5 recipe levers (VERDICT r04 items 1/5) ---
+    # within-session LR decay: multiply the LR by ``lr_gamma`` when training
+    # passes each fraction-of-session milestone — the reference's
+    # MultiStepLR pattern (reference nesvor/train.py:154-159). Composes
+    # with warmup_steps. () = constant LR after warmup (prior behavior).
+    lr_milestones: Tuple[float, ...] = ()
+    lr_gamma: float = 0.33
+    # severity curriculum: a multiplier on (motion_rot, motion_trans)
+    # annealed linearly from ``sev_start`` at step 0 to ``sev_end`` at the
+    # last step, applied to every example simulated during the session
+    # (initial pool at sev_start; held-out eval/gate examples are always
+    # full severity, so curves stay comparable). Multiplies on top of
+    # motion_jitter's per-example draw; severity only changes array
+    # VALUES, so the curriculum costs no recompiles. 1.0/1.0 = off.
+    sev_start: float = 1.0
+    sev_end: float = 1.0
+    # apply the volume-loss term only on every k-th step (1 = every step).
+    # The volume-loss backward costs ~half the 4 s step (PERF.md r04); the
+    # pose loss carries convergence, and the SRR score head still trains
+    # through the periodic volume steps. XLA dead-code-eliminates the
+    # final SRR solve in the pose-only program, so off-steps run ~2x
+    # faster.
+    volume_every: int = 1
+    # std (rad/axis) of the per-stack orientation jitter around the
+    # canonical base orientations. The r05 severity sweep located the
+    # ~160 mrad residual floor at exactly E|N(0, 0.1 I3)|: the model
+    # classifies the canonical orientation but does not read this jitter
+    # from image content — raising it strengthens that learning signal.
+    stack_jitter: float = 0.1
+    # subtract the across-stack MEAN jitter from every stack's jitter when
+    # simulating an example. The mean is a global SE(3) gauge the model
+    # cannot observe from content (random anatomy has no canonical frame,
+    # unlike the reference's atlas-aligned fetal brains), so with raw
+    # jitter ~1/3 of the jitter supervision is irreducible noise;
+    # zero-meaning it makes the pose targets the conditional-mean-optimal
+    # labels. Inference behavior is unchanged (the gate generator keeps
+    # raw jitter).
+    zero_mean_jitter: bool = False
 
 
 def _ellipsoid_volume_np(rng: np.random.Generator, vs: int) -> np.ndarray:
@@ -152,9 +190,12 @@ def synth_volume(rng: np.random.Generator, vs: int) -> jnp.ndarray:
     return out / jnp.maximum(jnp.max(out), 1e-6)
 
 
-def _stack_geometry(cfg: SVoRTTrainConfig, rng: np.random.Generator):
+def _stack_geometry(cfg: SVoRTTrainConfig, rng: np.random.Generator,
+                    sev_scale: float = 1.0):
     """Per-stack slice grids: base (motion-free) and true (with motion)
-    axis-angle arrays, trans_first convention."""
+    axis-angle arrays, trans_first convention. ``sev_scale`` multiplies the
+    motion magnitudes (the curriculum knob; 1.0 = the configured
+    severity)."""
     fov = np.sqrt(3) * cfg.vs * cfg.res_r
     n_slice = int(fov / cfg.gap) + 2
     ss = int(fov / cfg.res_s) + 2
@@ -164,17 +205,34 @@ def _stack_geometry(cfg: SVoRTTrainConfig, rng: np.random.Generator):
     ]
     j = cfg.motion_jitter
     sev = float(rng.uniform(1.0 - j, 1.0 + j)) if j else 1.0
-    ax_in, ax_true = [], []
+    sev *= sev_scale
+    # per-stack orientation jitter, drawn up-front so the across-stack mean
+    # (the unobservable global gauge of a random-anatomy example) can be
+    # IMPORTANT: the rng draw ORDER below (per stack: jitter, rot noise,
+    # trans noise — interleaved) is a compatibility contract: the held-out
+    # gate seeds (777_000+) and every .gate.json on disk assume it. The
+    # zero-mean projection therefore happens AFTER all draws, not by
+    # restructuring the stream.
+    draws = []
     for i in range(cfg.n_stacks):
+        jit_i = rng.normal(0, cfg.stack_jitter, 3)
+        rot_i = rng.normal(0, sev * cfg.motion_rot, (n_slice, 3))
+        tr_i = rng.normal(0, sev * cfg.motion_trans, (n_slice, 3))
+        draws.append((jit_i, rot_i, tr_i))
+    if cfg.zero_mean_jitter:
+        mean_j = np.mean([d[0] for d in draws], axis=0)
+        draws = [(jj - mean_j, r, t) for jj, r, t in draws]
+    ax_in, ax_true = [], []
+    for i, (jit_i, rot_i, tr_i) in enumerate(draws):
         angle = np.asarray(base_angles[i % len(base_angles)], np.float32)
         # small random stack-level orientation jitter so orientations vary
-        angle = angle + rng.normal(0, 0.1, 3)
+        angle = angle + jit_i
         ax = np.tile(angle.astype(np.float32), (n_slice, 1))
         tz = (np.arange(n_slice, dtype=np.float32) - (n_slice - 1) / 2) * cfg.gap
         t = np.stack((np.zeros_like(tz), np.zeros_like(tz), tz), -1)
         true = np.concatenate([ax, t], -1).astype(np.float32)
-        true[:, :3] += rng.normal(0, sev * cfg.motion_rot, (n_slice, 3))
-        true[:, 3:] += rng.normal(0, sev * cfg.motion_trans, (n_slice, 3))
+        true[:, :3] += rot_i
+        true[:, 3:] += tr_i
         # model INPUT matches inference's parse_data reset exactly
         # (svort/inference.py:144-156): rotations and in-plane translations
         # zeroed, tz = the scanner-nominal slice spacing, centered — the
@@ -197,6 +255,14 @@ def upload_tree(host: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
     ~1 s/transfer; one concatenated upload is immune to that failure
     mode."""
     keys = sorted(host)
+    for k in keys:
+        # the concat buffer is f32: silently casting an int counter or f64
+        # param would corrupt it — fail loudly instead (ADVICE r04)
+        dt = np.asarray(host[k]).dtype
+        if not (np.issubdtype(dt, np.floating) and dt.itemsize <= 4):
+            raise ValueError(
+                f"upload_tree expects f32/f16 entries; {k!r} is {dt}"
+            )
     shapes = {k: np.asarray(host[k]).shape for k in keys}
     flat = np.concatenate(
         [np.asarray(host[k], np.float32).ravel() for k in keys]
@@ -303,7 +369,9 @@ def _example_simulator(cfg: SVoRTTrainConfig, n_slice: int, ss: int,
     return _SIM_CACHE[key]
 
 
-def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
+def make_training_example(
+    cfg: SVoRTTrainConfig, seed: int, sev_scale: float = 1.0
+) -> Dict:
     """One simulated example: the SVoRT input dict (motion-free geometry)
     plus the ground-truth anchor-point targets ``theta_gt``.
 
@@ -311,8 +379,9 @@ def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
     milliseconds); acquisition, normalization, and targets run as one
     jitted device dispatch with NO host fetch (``_example_simulator``) —
     results stay device-resident for the training step. The rng stream is
-    identical to the original host-side implementation, so a given seed
-    produces the same example distribution."""
+    identical to the original host-side implementation (``sev_scale``
+    multiplies severities after all draws), so a given seed produces the
+    same example distribution."""
     rng = np.random.default_rng(seed)
     if cfg.brain_frac and rng.random() < cfg.brain_frac:
         from ..utils.brain_phantom import brain_phantom
@@ -324,7 +393,7 @@ def make_training_example(cfg: SVoRTTrainConfig, seed: int) -> Dict:
     else:
         volume_np = _ellipsoid_volume_np(rng, cfg.vs)
         do_blur = True
-    ax_in, ax_true, n_slice, ss = _stack_geometry(cfg, rng)
+    ax_in, ax_true, n_slice, ss = _stack_geometry(cfg, rng, sev_scale)
     sim, psf_rec = _example_simulator(cfg, n_slice, ss, do_blur)
     stacks, mats_in, theta_gt, vol_gt = sim(
         jnp.asarray(volume_np),
@@ -370,6 +439,32 @@ def pose_error(theta_pred, theta_gt):
     diff = t_g.inv().compose(t_p).axisangle()
     rot = float(jnp.linalg.norm(diff[:, :3], axis=-1).mean()) * 1e3
     trans = float(jnp.linalg.norm(diff[:, 3:], axis=-1).mean())
+    return rot, trans
+
+
+def pose_error_gauge_removed(theta_pred, theta_gt):
+    """Like ``pose_error`` but with the global SE(3) gauge (the Karcher-mean
+    deviation) removed first. Registration outputs are defined up to one
+    world transform; on random synthetic anatomy the across-stack mean
+    orientation jitter is genuinely unobservable from content (no atlas
+    frame — unlike the reference's fetal-trained weights), so the raw
+    metric carries an ~90 mrad irreducible term (r05 severity sweep). This
+    is the metric the e2e register drive already uses
+    (scripts/e2e_register_svort.py)."""
+    from .inference import average_rotation
+
+    t_p = RigidTransform(point2mat(theta_pred))
+    t_g = RigidTransform(point2mat(theta_gt))
+    d = t_p.compose(t_g.inv())
+    d_ax = np.asarray(d.axisangle())
+    mean_r = np.asarray(average_rotation(d_ax[:, :3]))[0]
+    mean_t = d_ax[:, 3:].mean(0)
+    g = RigidTransform(
+        jnp.asarray(np.concatenate([mean_r, mean_t])[None], jnp.float32)
+    )
+    resid = np.asarray(g.inv().compose(d).axisangle())
+    rot = float(np.linalg.norm(resid[:, :3], axis=-1).mean()) * 1e3
+    trans = float(np.linalg.norm(resid[:, 3:], axis=-1).mean())
     return rot, trans
 
 
@@ -434,7 +529,23 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
         # one compiled program instead of hundreds of eager init dispatches
         params = jax.jit(model.init)(key)
         params_host = None
-    if cfg.warmup_steps:
+    if cfg.lr_milestones:
+        # reference-style MultiStepLR (gamma at fraction-of-session
+        # milestones), composed with the linear warmup
+        bounds = jnp.asarray(
+            [int(m * cfg.steps) for m in cfg.lr_milestones], jnp.int32
+        )
+        gamma = cfg.lr_gamma
+
+        def lr(count):
+            warm = (
+                jnp.minimum(1.0, (count + 1) / cfg.warmup_steps)
+                if cfg.warmup_steps
+                else 1.0
+            )
+            return cfg.lr * warm * gamma ** jnp.sum(count >= bounds)
+
+    elif cfg.warmup_steps:
         lr = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
     else:
         lr = cfg.lr
@@ -466,8 +577,15 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
         "simulating %d SVoRT training examples (vs=%d, %d stacks)",
         cfg.n_examples, cfg.vs, cfg.n_stacks,
     )
+    def sev_at(step_i: int) -> float:
+        """Curriculum severity for examples simulated at ``step_i``."""
+        if cfg.sev_start == cfg.sev_end:
+            return cfg.sev_start
+        f = min(1.0, max(0.0, step_i / max(1, cfg.steps - 1)))
+        return cfg.sev_start + (cfg.sev_end - cfg.sev_start) * f
+
     examples = [
-        make_training_example(cfg, cfg.seed * 10_000 + i)
+        make_training_example(cfg, cfg.seed * 10_000 + i, sev_at(0))
         for i in range(cfg.n_examples)
     ]
 
@@ -483,22 +601,27 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
         )
     }
 
-    def loss_fn(params, transforms, stacks, positions, theta_gt, vol_gt):
-        data = {
-            **static,
-            "transforms": transforms,
-            "stacks": stacks,
-            "positions": positions,
-        }
-        _, volumes, thetas = model(params, data)
-        loss = sum(jnp.mean((t - theta_gt) ** 2) for t in thetas) / len(thetas)
-        if cfg.volume_weight:
-            loss = loss + cfg.volume_weight * jnp.mean(
-                (volumes[-1].reshape(vol_gt.shape) - vol_gt) ** 2
-            )
-        return loss
+    def make_loss_fn(use_vw: bool):
+        def loss_fn(params, transforms, stacks, positions, theta_gt, vol_gt):
+            data = {
+                **static,
+                "transforms": transforms,
+                "stacks": stacks,
+                "positions": positions,
+            }
+            _, volumes, thetas = model(params, data)
+            loss = sum(
+                jnp.mean((t - theta_gt) ** 2) for t in thetas
+            ) / len(thetas)
+            if use_vw and cfg.volume_weight:
+                loss = loss + cfg.volume_weight * jnp.mean(
+                    (volumes[-1].reshape(vol_gt.shape) - vol_gt) ** 2
+                )
+            return loss
 
-    def batched_grads(params, batch):
+        return loss_fn
+
+    def batched_grads(loss_fn, params, batch):
         # leading axis = examples. Gradients accumulate through a scan of
         # complete fwd+bwd passes, so HBM holds ONE example's activations
         # at a time (a vmap/map under value_and_grad would keep all k
@@ -516,11 +639,19 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
         k = cfg.batch_examples
         return tot / k, jax.tree_util.tree_map(lambda g: g / k, gsum)
 
-    @jax.jit
-    def step(params, opt_state, transforms, stacks, positions, theta_gt, vol_gt):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("use_vw",))
+    def step(params, opt_state, transforms, stacks, positions, theta_gt,
+             vol_gt, use_vw=True):
+        # use_vw=False (the volume_every off-steps) drops the volume-loss
+        # term; XLA then dead-code-eliminates the final SRR solve and its
+        # differentiable-CG backward, ~halving the step (PERF.md r05)
+        loss_fn = make_loss_fn(use_vw)
         if cfg.batch_examples > 1:
             loss, grads = batched_grads(
-                params, (transforms, stacks, positions, theta_gt, vol_gt)
+                loss_fn, params,
+                (transforms, stacks, positions, theta_gt, vol_gt),
             )
         else:
             loss, grads = jax.value_and_grad(loss_fn)(
@@ -542,16 +673,23 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
         # domain), "brain" = the feature-rich brain phantom — tracking both
         # shows whether brain-generator training closes the domain gap
         # without regressing the original distribution
+        # pin the HISTORICAL generator fields (raw jitter at std 0.1, full
+        # severity): sessions that train with zero_mean_jitter / larger
+        # stack_jitter must still be measured against the same held-out
+        # distribution or the cross-session curve stops being comparable
+        eval_kw = dict(zero_mean_jitter=False, stack_jitter=0.1)
         eval_sets = {
             "ell": [
                 make_training_example(
-                    replace(cfg, brain_frac=0.0), seed=888_000 + s
+                    replace(cfg, brain_frac=0.0, **eval_kw),
+                    seed=888_000 + s,
                 )
                 for s in range(cfg.eval_examples)
             ],
             "brain": [
                 make_training_example(
-                    replace(cfg, brain_frac=1.0), seed=889_000 + s
+                    replace(cfg, brain_frac=1.0, **eval_kw),
+                    seed=889_000 + s,
                 )
                 for s in range(cfg.eval_examples)
             ],
@@ -564,19 +702,25 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
             _, _, thetas = model(params, data)
             return thetas[-1]
 
-    def run_eval(params) -> Dict[str, Tuple[float, float]]:
+    def run_eval(params) -> Dict[str, Tuple[float, float, float, float]]:
         out = {}
         for name, exs in eval_sets.items():
-            rots, trs = [], []
+            rots, trs, rots_g, trs_g = [], [], [], []
             for ex in exs:
                 theta = fwd_eval(
                     params, ex["data"]["transforms"], ex["data"]["stacks"],
                     ex["data"]["positions"],
                 )
                 r, t = pose_error(theta, ex["theta_gt"])
+                rg, tg = pose_error_gauge_removed(theta, ex["theta_gt"])
                 rots.append(r)
                 trs.append(t)
-            out[name] = (float(np.mean(rots)), float(np.mean(trs)))
+                rots_g.append(rg)
+                trs_g.append(tg)
+            out[name] = (
+                float(np.mean(rots)), float(np.mean(trs)),
+                float(np.mean(rots_g)), float(np.mean(trs_g)),
+            )
         return out
 
     history: Dict[str, List] = {"loss": [], "eval": []}
@@ -599,14 +743,21 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
                 jnp.stack([g[f] for g in grp])
                 for f in ("theta_gt", "vol_gt")
             )
-        params, opt_state, loss, gnorm = step(params, opt_state, *args_i)
+        use_vw = bool(cfg.volume_weight) and (
+            cfg.volume_every <= 1 or i % cfg.volume_every == 0
+        )
+        params, opt_state, loss, gnorm = step(
+            params, opt_state, *args_i, use_vw=use_vw
+        )
         if cfg.refresh_every and (i + 1) % cfg.refresh_every == 0:
             slot = n_fresh % len(examples)
             # refresh seeds live in their own namespace, disjoint from both
             # the initial pool (cfg.seed*10_000 + i) and any held-out eval
-            # seeds (e.g. 777_000+/999_000+ in scripts/tests)
+            # seeds (e.g. 777_000+/999_000+ in scripts/tests); severity
+            # follows the curriculum schedule at the current step
             examples[slot] = make_training_example(
-                cfg, 1_000_000_000 + cfg.seed * 1_000_000 + n_fresh
+                cfg, 1_000_000_000 + cfg.seed * 1_000_000 + n_fresh,
+                sev_at(i),
             )
             n_fresh += 1
         if (i + 1) % cfg.log_every == 0 or i == cfg.steps - 1:
@@ -627,8 +778,9 @@ def train_svort(cfg: SVoRTTrainConfig, model=None):
                 "svort held-out eval at step %d: %s",
                 i + 1,
                 "  ".join(
-                    f"{k}: {r:.1f} mrad / {t:.2f} mm"
-                    for k, (r, t) in ev.items()
+                    f"{k}: {v[0]:.1f} mrad / {v[1]:.2f} mm"
+                    f" (gauge {v[2]:.1f} / {v[3]:.2f})"
+                    for k, v in ev.items()
                 ),
             )
         if (
@@ -710,6 +862,7 @@ def held_out_gate(
         return thetas[-1]
 
     rots0, rots1, trs0, trs1 = [], [], [], []
+    rots1g, trs1g = [], []
     for s, ex in enumerate(exs):
         theta_last = fwd(
             params, ex["data"]["transforms"], ex["data"]["stacks"],
@@ -722,22 +875,108 @@ def held_out_gate(
         )
         r0, t0 = pose_error(theta_init, ex["theta_gt"])
         r1, t1 = pose_error(thetas[-1], ex["theta_gt"])
+        r1g, t1g = pose_error_gauge_removed(thetas[-1], ex["theta_gt"])
         rots0.append(r0); trs0.append(t0); rots1.append(r1); trs1.append(t1)
+        rots1g.append(r1g); trs1g.append(t1g)
         logging.info(
-            "held-out %d: init %.1f mrad / %.2f mm -> trained %.1f mrad / %.2f mm",
-            s, r0, t0, r1, t1,
+            "held-out %d: init %.1f mrad / %.2f mm -> trained %.1f mrad / "
+            "%.2f mm (gauge-removed %.1f mrad / %.2f mm)",
+            s, r0, t0, r1, t1, r1g, t1g,
         )
     res = {
         "rot_init_mrad": float(np.mean(rots0)),
         "trans_init_mm": float(np.mean(trs0)),
         "rot_mrad": float(np.mean(rots1)),
         "trans_mm": float(np.mean(trs1)),
+        # the raw metrics above keep the historical gate semantics (and
+        # gate_score comparability with every shipped .gate.json); the
+        # gauge-removed pair is the physically meaningful registration
+        # quality on random anatomy (see pose_error_gauge_removed)
+        "rot_gauge_mrad": float(np.mean(rots1g)),
+        "trans_gauge_mm": float(np.mean(trs1g)),
     }
     res["improved"] = bool(
         res["rot_mrad"] < 0.8 * res["rot_init_mrad"]
         and res["trans_mm"] < 0.8 * res["trans_init_mm"]
     )
     return res
+
+
+def held_out_sweep(
+    params: Dict,
+    version: str = "v1",
+    vs: int = 48,
+    sev_scales=(0.1, 0.25, 0.5, 0.75, 1.0),
+    n_examples: int = 3,
+) -> List[Dict]:
+    """Residual-vs-initial-severity curve of a checkpoint (VERDICT r04
+    item 2): evaluate the inference-form model on held-out examples whose
+    motion severity is scaled by each entry of ``sev_scales`` (1.0 = the
+    gate's full corruption, ~1112 mrad at the default config). One
+    compiled forward serves every severity — the example shapes are
+    severity-invariant. Returns one dict per severity with mean init and
+    recovered errors; decides whether a plateau at full severity is a
+    model limit (flat residual across severities) or a gate artifact
+    (residual tracking init severity)."""
+    from .models import SVoRT, SVoRTv2
+    from ..transform import mat2point
+
+    cfg = gate_config(version, vs)
+    model = SVoRT(n_iter=3) if version == "v1" else SVoRTv2(n_iter=4)
+    ex0 = make_training_example(cfg, seed=777_000, sev_scale=sev_scales[0])
+    static = {
+        k: ex0["data"][k]
+        for k in ("psf_rec", "slice_shape", "resolution_slice",
+                  "resolution_recon", "slice_thickness", "volume_shape")
+    }
+
+    @jax.jit
+    def fwd(params, transforms, stacks, positions):
+        data = {**static, "transforms": transforms, "stacks": stacks,
+                "positions": positions}
+        _, _, thetas = model(params, data)
+        return thetas[-1]
+
+    out = []
+    for sev in sev_scales:
+        rots0, rots1, trs0, trs1 = [], [], [], []
+        rots1g, trs1g = [], []
+        for s in range(n_examples):
+            ex = make_training_example(
+                cfg, seed=777_000 + s, sev_scale=float(sev)
+            )
+            theta = fwd(
+                params, ex["data"]["transforms"], ex["data"]["stacks"],
+                ex["data"]["positions"],
+            )
+            theta_init = mat2point(
+                ex["data"]["transforms"], ex["data"]["slice_shape"][1],
+                ex["data"]["slice_shape"][0], cfg.res_s,
+            )
+            r0, t0 = pose_error(theta_init, ex["theta_gt"])
+            r1, t1 = pose_error(theta, ex["theta_gt"])
+            r1g, t1g = pose_error_gauge_removed(theta, ex["theta_gt"])
+            rots0.append(r0); trs0.append(t0)
+            rots1.append(r1); trs1.append(t1)
+            rots1g.append(r1g); trs1g.append(t1g)
+        rec = {
+            "sev_scale": float(sev),
+            "rot_init_mrad": float(np.mean(rots0)),
+            "trans_init_mm": float(np.mean(trs0)),
+            "rot_mrad": float(np.mean(rots1)),
+            "trans_mm": float(np.mean(trs1)),
+            "rot_gauge_mrad": float(np.mean(rots1g)),
+            "trans_gauge_mm": float(np.mean(trs1g)),
+        }
+        logging.info(
+            "sweep sev %.2f: init %.1f mrad / %.2f mm -> %.1f mrad / %.2f "
+            "mm (gauge-removed %.1f mrad / %.2f mm)",
+            sev, rec["rot_init_mrad"], rec["trans_init_mm"],
+            rec["rot_mrad"], rec["trans_mm"],
+            rec["rot_gauge_mrad"], rec["trans_gauge_mm"],
+        )
+        out.append(rec)
+    return out
 
 
 def gate_score(res: Dict) -> float:
@@ -754,8 +993,10 @@ def gate_score(res: Dict) -> float:
 def _incumbent_gate(out: str, version: str, vs: int) -> Dict:
     """Held-out gate result of the currently installed checkpoint at ``out``.
     Reads the ``.gate.json`` metadata written at install time when it matches
-    this gate's config; otherwise re-evaluates the incumbent live (same
-    compiled program as the candidate eval that just ran, so no recompile)."""
+    this gate's config; otherwise re-evaluates the incumbent live (a fresh
+    held_out_gate call — its jitted forward is a new closure, so this path
+    pays one recompile; acceptable because it only runs when the metadata
+    is missing or stale)."""
     import json
     import os
 

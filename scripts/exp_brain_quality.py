@@ -47,19 +47,25 @@ def ssim3d(a: "np.ndarray", b: "np.ndarray", mask: "np.ndarray", drange: float):
     return float(s[mask].mean())
 
 
-def main():
-    encoder = sys.argv[1] if len(sys.argv) > 1 else "fourier"
-    n_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
-
-    import jax
-
-    if "--cpu" in sys.argv:
-        jax.config.update("jax_platforms", "cpu")
-
+def run_study(
+    encoder: str,
+    n_iter: int = 5000,
+    vs: int = 128,
+    res: float = 0.5,
+    bias_strength: float = 0.4,
+    n_levels_bias: int = 2,
+    gap: float = None,
+    res_s: float = None,
+) -> dict:
+    """Run the full-config brain-phantom quality study and return the
+    metrics dict. Shared by the CLI entry below and the TPU-gated
+    regression test (tests/test_brain_quality_full.py, VERDICT r04
+    item 6)."""
     from nesvor_tpu._precision import ensure_f32_matmul_semantics
 
     ensure_f32_matmul_semantics()
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
     from argparse import Namespace
@@ -71,12 +77,8 @@ def main():
     from nesvor_tpu.transform import RigidTransform, transform_points
     from tests.synth import make_brain_stacks, psnr, stacks_to_slices
 
-    vs = int(_opt("--vs", 128, int))
-    res = _opt("--res", 0.5)
-    bias_strength = _opt("--bias-strength", 0.4)
-    n_levels_bias = int(_opt("--n-levels-bias", 2, int))
-    gap = _opt("--gap", 3 * res)
-    res_s = _opt("--res-s", res)
+    gap = 3 * res if gap is None else gap
+    res_s = res if res_s is None else res_s
 
     # the brain phantom at vs=128 / 0.5 mm is a 64 mm head (mid-gestation
     # scale); acquisitions at in-plane = recon res, 3x slice gap, per-stack
@@ -188,13 +190,54 @@ def main():
     p_raw, s_raw = eval_metrics(grid)
     p_fix, s_fix = eval_metrics(transform_points(drift, grid))
     losses = LAST_RUN_STATS.get("final_losses", {})
-    print(f"encoder={encoder} iters={n_iter} bias={bias_strength} "
-          f"n_levels_bias={n_levels_bias} train_s={train_s:.1f} "
-          f"steady_ms={LAST_RUN_STATS.get('steady_ms_per_step', -1):.1f}")
-    print(f"PSNR raw={p_raw:.2f} gauge_fixed={p_fix:.2f}  "
-          f"SSIM raw={s_raw:.4f} gauge_fixed={s_fix:.4f}  "
-          f"drift_rot_mrad={np.linalg.norm(mean_r)*1e3:.1f}  "
-          f"biasReg={losses.get('biasReg', 0.0):.4f}")
+    return {
+        "encoder": encoder,
+        "n_iter": n_iter,
+        "bias_strength": bias_strength,
+        "n_levels_bias": n_levels_bias,
+        "train_s": round(train_s, 1),
+        "steady_ms": round(
+            float(LAST_RUN_STATS.get("steady_ms_per_step", -1)), 1
+        ),
+        "psnr_raw": round(p_raw, 2),
+        "psnr_fixed": round(p_fix, 2),
+        "ssim_raw": round(s_raw, 4),
+        "ssim_fixed": round(s_fix, 4),
+        "drift_rot_mrad": round(float(np.linalg.norm(mean_r)) * 1e3, 1),
+        "biasReg": round(float(losses.get("biasReg", 0.0)), 4),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    encoder = sys.argv[1] if len(sys.argv) > 1 else "fourier"
+    n_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+
+    import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+
+    r = run_study(
+        encoder,
+        n_iter,
+        vs=int(_opt("--vs", 128, int)),
+        res=_opt("--res", 0.5),
+        bias_strength=_opt("--bias-strength", 0.4),
+        n_levels_bias=int(_opt("--n-levels-bias", 2, int)),
+        gap=_opt("--gap", None, float) if "--gap" in sys.argv else None,
+        res_s=_opt("--res-s", None, float) if "--res-s" in sys.argv else None,
+    )
+    print(f"encoder={r['encoder']} iters={r['n_iter']} "
+          f"bias={r['bias_strength']} n_levels_bias={r['n_levels_bias']} "
+          f"train_s={r['train_s']} steady_ms={r['steady_ms']}")
+    print(f"PSNR raw={r['psnr_raw']:.2f} gauge_fixed={r['psnr_fixed']:.2f}  "
+          f"SSIM raw={r['ssim_raw']:.4f} gauge_fixed={r['ssim_fixed']:.4f}  "
+          f"drift_rot_mrad={r['drift_rot_mrad']:.1f}  "
+          f"biasReg={r['biasReg']:.4f}")
+    import json
+
+    print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,7 +1,17 @@
 """Train a SVoRT checkpoint on synthetic motion and install it under
 nesvor_tpu/checkpoints/SVoRT_<version>.npz (activates `--registration svort`).
 
-Usage: python scripts/train_svort.py [steps] [n_examples] [vs] [version] [resume_path] [seed] [brain_frac] [grad_clip] [lr] [batch]
+Usage: python scripts/train_svort.py [steps] [n_examples] [vs] [version] [resume_path] [seed] [brain_frac] [grad_clip] [lr] [batch] [k=v ...]
+
+Trailing key=value pairs set the round-5 recipe levers:
+  sev_start=0.3 sev_end=1.0   severity curriculum (motion multiplier,
+                              annealed linearly over the session)
+  milestones=0.5,0.75         within-session LR decay points (fractions)
+  gamma=0.33                  LR decay factor at each milestone
+  volume_every=4              volume-loss term every k-th step only
+  zero_mean_jitter=1          project the unobservable across-stack mean
+                              out of the stack-orientation jitter targets
+  stack_jitter=0.15           stack-orientation jitter std (rad/axis)
 
 With resume_path, training warm-starts from that .npz (e.g. a previous
 run's installed checkpoint or its .training.npz mid-run snapshot). Pass a
@@ -31,6 +41,23 @@ def main():
     grad_clip = float(sys.argv[8]) if len(sys.argv) > 8 else 0.0
     lr = float(sys.argv[9]) if len(sys.argv) > 9 else 2e-4
     batch = int(sys.argv[10]) if len(sys.argv) > 10 else 1
+    extras = {}
+    for a in sys.argv[11:]:
+        k, _, v = a.partition("=")
+        assert k in ("sev_start", "sev_end", "milestones", "gamma",
+                     "volume_every", "zero_mean_jitter", "stack_jitter"), (
+            f"unknown extra {a!r}"
+        )
+        extras[k] = v
+    sev_start = float(extras.get("sev_start", 1.0))
+    sev_end = float(extras.get("sev_end", 1.0))
+    milestones = tuple(
+        float(x) for x in extras.get("milestones", "").split(",") if x
+    )
+    gamma = float(extras.get("gamma", 0.33))
+    volume_every = int(extras.get("volume_every", 1))
+    zero_mean_jitter = bool(int(extras.get("zero_mean_jitter", 0)))
+    stack_jitter = float(extras.get("stack_jitter", 0.1))
     assert seed < 100_000, "seeds 777000+ are reserved for the held-out gate"
     # working volume: covers the sqrt(3)*vs*res FOV with margin, rounded to
     # a 32-voxel bucket. One v5e (15.75 GB HBM) fits the differentiated
@@ -92,6 +119,10 @@ def main():
         brain_frac=brain_frac,
         grad_clip=grad_clip,
         batch_examples=batch,
+        sev_start=sev_start, sev_end=sev_end,
+        lr_milestones=milestones, lr_gamma=gamma,
+        volume_every=volume_every,
+        zero_mean_jitter=zero_mean_jitter, stack_jitter=stack_jitter,
         # held-out error-vs-steps curve (fixed 888k-seed examples),
         # appended to the cumulative per-version curve file below
         eval_every=max(25, steps // 40),
@@ -108,8 +139,15 @@ def main():
     import json
 
     curve_path = os.path.join(__checkpoint_dir, f"SVoRT_{version}.curve.jsonl")
+    # continue the cumulative step axis only when this session resumes the
+    # version's own lineage (the installed checkpoint or its training
+    # snapshot); an unrelated resume source starts its own axis and each
+    # record carries the resume basename so lineage is auditable
+    # (ADVICE r04)
+    resume_base = os.path.basename(resume_path) if resume_path else ""
+    own_lineage = resume_base.startswith(f"SVoRT_{version}")
     step0 = 0
-    if resume_path and os.path.exists(curve_path):
+    if resume_path and own_lineage and os.path.exists(curve_path):
         with open(curve_path) as f:
             lines = [json.loads(ln) for ln in f if ln.strip()]
         if lines:
@@ -117,16 +155,29 @@ def main():
     with open(curve_path, "a") as f:
         for st, ev in history["eval"]:
             rec = {"step": step0 + st, "seed": seed,
-                   "brain_frac": cfg.brain_frac}
-            for name, (rot, tr) in ev.items():
-                rec[f"rot_mrad_{name}"] = round(rot, 2)
-                rec[f"trans_mm_{name}"] = round(tr, 3)
+                   "brain_frac": cfg.brain_frac, "resume": resume_base}
+            if sev_start != 1.0 or sev_end != 1.0:
+                rec["sev"] = [sev_start, sev_end]
+            if milestones:
+                rec["lr_milestones"] = list(milestones)
+            if volume_every > 1:
+                rec["volume_every"] = volume_every
+            if zero_mean_jitter:
+                rec["zero_mean_jitter"] = True
+            if stack_jitter != 0.1:
+                rec["stack_jitter"] = stack_jitter
+            for name, v in ev.items():
+                rec[f"rot_mrad_{name}"] = round(v[0], 2)
+                rec[f"trans_mm_{name}"] = round(v[1], 3)
+                if len(v) > 2:  # gauge-removed pair (r05+ records)
+                    rec[f"rot_gauge_mrad_{name}"] = round(v[2], 2)
+                    rec[f"trans_gauge_mm_{name}"] = round(v[3], 3)
             f.write(json.dumps(rec) + "\n")
     if history["eval"]:
         last = history["eval"][-1][1]
         print(f"held-out curve appended to {curve_path}; final: "
-              + "  ".join(f"{k}: {r:.1f} mrad / {t:.2f} mm"
-                          for k, (r, t) in last.items()),
+              + "  ".join(f"{k}: {v[0]:.1f} mrad / {v[1]:.2f} mm"
+                          for k, v in last.items()),
               flush=True)
 
     # held-out pose-error eval + install decision: the single shared gate

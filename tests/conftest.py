@@ -12,15 +12,21 @@ it must run before any backend initialization, hence at conftest import.
 
 import os
 
+# NESVOR_TPU_TESTS=1 leaves the real accelerator visible so the tpu-gated
+# quality tests (tests/test_brain_quality_full.py) can run on hardware;
+# default = the virtual 8-device CPU mesh for the portable suite
+_TPU_MODE = os.environ.get("NESVOR_TPU_TESTS") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _TPU_MODE and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 
 # apply the package's f32-matmul-semantics setting (entry-point-scoped in
 # the package itself; tests exercise internals directly)

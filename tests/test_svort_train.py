@@ -71,6 +71,38 @@ def test_svort_training_with_volume_loss_smoke():
             assert bool(np.isfinite(np.asarray(leaf)).all()), version
 
 
+def test_round5_recipe_levers_smoke():
+    """Severity curriculum, within-session LR milestones, and periodic
+    volume loss (volume_every) — the round-5 recipe levers — must produce
+    finite training and the curriculum must actually scale the simulated
+    motion severity."""
+    cfg = _tiny_cfg()
+    ex_full = make_training_example(cfg, seed=5, sev_scale=1.0)
+    ex_mild = make_training_example(cfg, seed=5, sev_scale=0.2)
+    ex_zero = make_training_example(cfg, seed=5, sev_scale=0.0)
+
+    # same seed, scaled severity: measure the injected per-slice motion
+    # directly as the pose deviation of theta_gt from the motion-free
+    # (sev=0) grid — the anchor-point INIT error is dominated by the base
+    # stack orientations the reset input zeroes, so it is insensitive to
+    # sev_scale (that init is the orientation-inference task, not motion)
+    r_full, t_full = pose_error(ex_full["theta_gt"], ex_zero["theta_gt"])
+    r_mild, t_mild = pose_error(ex_mild["theta_gt"], ex_zero["theta_gt"])
+    assert 0.1 * r_full < r_mild < 0.35 * r_full, (r_mild, r_full)
+    assert 0.1 * t_full < t_mild < 0.35 * t_full, (t_mild, t_full)
+
+    cfg2 = _tiny_cfg(
+        steps=4, n_examples=2, vs=16, volume_shape=(32, 32, 32),
+        volume_weight=1.0, volume_every=2, log_every=1,
+        lr_milestones=(0.5,), lr_gamma=0.1,
+        sev_start=0.3, sev_end=1.0, refresh_every=1,
+    )
+    _, params, history = train_svort(cfg2)
+    assert np.isfinite(history["loss"]).all()
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert bool(np.isfinite(np.asarray(leaf)).all())
+
+
 def test_example_q99_normalization_invariant():
     """The in-graph per-stack q99 normalization (one-dispatch example
     simulator) must reproduce the host np.quantile semantics it replaced:
