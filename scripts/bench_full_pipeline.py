@@ -26,8 +26,8 @@ Prints one JSON line with the per-phase breakdown; results go to PERF.md.
 
 import json
 import os
+import shutil
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, ".")
@@ -121,11 +121,24 @@ def main():
             np.asarray(stack.mask).reshape(len(stack.mask), -1).any(1)
         )
 
-    with tempfile.TemporaryDirectory() as folder:
+    # outputs persist under /tmp so a failed eval can be re-run with
+    # --eval-only against the artifacts without repeating the
+    # (expensive) pipeline phases
+    folder = f"/tmp/pipeline_run_{vs}_{res}"
+    slices_dir = os.path.join(folder, "slices")
+    out_slices_dir = os.path.join(folder, "out_slices")
+    vol_path = os.path.join(folder, "volume.nii.gz")
+    truth_path = os.path.join(folder, "truth.npz")
+    if "--eval-only" in sys.argv:
+        d = np.load(truth_path, allow_pickle=True)
+        true_ax = list(d["true_ax"])
+        nonempty = list(d["nonempty"])
+        register_s, reconstruct_s = float(d["register_s"]), float(d["reconstruct_s"])
+    else:
+        if os.path.exists(folder):
+            shutil.rmtree(folder)
+        os.makedirs(folder)
         paths = _save_stacks(stacks, folder)
-        slices_dir = os.path.join(folder, "slices")
-        out_slices_dir = os.path.join(folder, "out_slices")
-        vol_path = os.path.join(folder, "volume.nii.gz")
 
         # --- phase 1: register (SVoRT transformer + stack registration) ---
         t1 = time.time()
@@ -156,9 +169,15 @@ def main():
         ])
         reconstruct_s = time.time() - t2
         print(f"[reconstruct+sample] {reconstruct_s:.1f} s", flush=True)
+        np.savez(
+            truth_path,
+            true_ax=np.asarray(true_ax, dtype=object),
+            nonempty=np.asarray(nonempty, dtype=object),
+            register_s=register_s, reconstruct_s=reconstruct_s,
+        )
 
-        vol = load_volume(vol_path)
-        out_slices = load_slices(out_slices_dir)
+    vol = load_volume(vol_path)
+    out_slices = load_slices(out_slices_dir)
 
     # --- evaluate: resample the output volume at the ground-truth grid
     # through the final (registered + refined) poses. Global gauge: the
