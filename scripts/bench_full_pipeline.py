@@ -134,6 +134,32 @@ def main():
         true_ax = list(d["true_ax"])
         nonempty = list(d["nonempty"])
         register_s, reconstruct_s = float(d["register_s"]), float(d["reconstruct_s"])
+    elif "--skip-register" in sys.argv:
+        # resume after a crash during reconstruct: registered slices and
+        # the truth sidecar are already on disk
+        d = np.load(truth_path, allow_pickle=True)
+        true_ax = list(d["true_ax"])
+        nonempty = list(d["nonempty"])
+        register_s = float(d["register_s"])
+        t2 = time.time()
+        cli_main([
+            "reconstruct",
+            "--input-slices", slices_dir,
+            "--output-volume", vol_path,
+            "--output-slices", out_slices_dir,
+            "--output-resolution", str(res),
+            "--n-levels-bias", "2",
+            "--n-iter", str(n_iter),
+            "--verbose", "1",
+        ])
+        reconstruct_s = time.time() - t2
+        print(f"[reconstruct+sample] {reconstruct_s:.1f} s", flush=True)
+        np.savez(
+            truth_path,
+            true_ax=np.asarray(true_ax, dtype=object),
+            nonempty=np.asarray(nonempty, dtype=object),
+            register_s=register_s, reconstruct_s=reconstruct_s,
+        )
     else:
         if os.path.exists(folder):
             shutil.rmtree(folder)
@@ -147,10 +173,19 @@ def main():
             "--input-stacks", *paths,
             "--registration", "svort",
             "--output-slices", slices_dir,
-            "--verbose", "1",
+            "--verbose", "2",
         ])
         register_s = time.time() - t1
         print(f"[register] {register_s:.1f} s", flush=True)
+        # persist the ground-truth sidecar NOW so a crash during the
+        # (long) reconstruct phase leaves a resumable state: rerun with
+        # --skip-register to redo only reconstruct+eval
+        np.savez(
+            truth_path,
+            true_ax=np.asarray(true_ax, dtype=object),
+            nonempty=np.asarray(nonempty, dtype=object),
+            register_s=register_s, reconstruct_s=-1.0,
+        )
 
         # --- phase 2: reconstruct from registered slices (flagship
         # config; joint pose refinement ON, bias head ON) + 0.5 mm
