@@ -334,9 +334,24 @@ def _depthwise_corr3d(x: jnp.ndarray, psf: jnp.ndarray, padding) -> jnp.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("slice_shape", "psf_shape"))
+def _pad_chunk_transforms(transforms, slice_chunk):
+    """Pad (n, 3, 4) transforms to a multiple of ``slice_chunk`` with
+    far-out-of-volume dummies (translation 1e6 -> every slab point invalid),
+    so padded slices contribute/receive nothing. Returns (padded, n_pad)."""
+    n = transforms.shape[0]
+    n_pad = -(-n // slice_chunk) * slice_chunk - n
+    if n_pad == 0:
+        return transforms, 0
+    dummy = jnp.zeros((n_pad, 3, 4), transforms.dtype)
+    dummy = dummy.at[:, :, 3].set(1e6)
+    dummy = dummy.at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0).at[:, 2, 2].set(1.0)
+    return jnp.concatenate([transforms, dummy], axis=0), n_pad
+
+
+@partial(jax.jit, static_argnames=("slice_shape", "psf_shape", "slice_chunk"))
 def _forward_slab_impl(
-    transforms, vol3d, vol_mask3d, slices_mask, psf, slice_shape, psf_shape
+    transforms, vol3d, vol_mask3d, slices_mask, psf, slice_shape, psf_shape,
+    slice_chunk=None,
 ):
     n = transforms.shape[0]
     h, w = slice_shape
@@ -344,36 +359,56 @@ def _forward_slab_impl(
     HW = H * W
     dtype = vol3d.dtype
 
-    idx, corner_w, valid, (Zs, Ys, Xs) = _slab_geometry(
-        transforms, slice_shape, (D, H, W), psf_shape, dtype
-    )
-    validf = valid.astype(dtype)
-
     vol8 = _corner_pack(vol3d.reshape(-1), W, HW)  # (DHW, 8)
-    if vol_mask3d is not None:
-        mask8 = _corner_pack(vol_mask3d.reshape(-1).astype(dtype), W, HW)
-        packed = jnp.take(
-            jnp.concatenate([vol8, mask8], axis=1), idx.reshape(-1), axis=0
-        )  # (n*Np, 16) — one 64 B row per slab point
-        v8 = packed[:, :8].reshape(n, -1, 8)
-        m8 = packed[:, 8:].reshape(n, -1, 8)
-        cw = jnp.moveaxis(corner_w, 0, -1)  # (n, Np, 8)
-        s_val = jnp.sum(cw * m8 * v8, axis=-1) * validf  # (n, Np)
-        s_wt = jnp.sum(cw * m8, axis=-1) * validf
+    mask8 = (
+        None
+        if vol_mask3d is None
+        else _corner_pack(vol_mask3d.reshape(-1).astype(dtype), W, HW)
+    )
+
+    def chunk_fwd(tr):
+        """Project one block of slices against the shared packed volume.
+        Peak transient is the block's (nc*Np, 8/16) gather — bounding the
+        program's working set when the block is small (inference-scale
+        problems: hundreds of slices x 224^3 volumes otherwise exhaust HBM
+        in the composed CG programs)."""
+        nc = tr.shape[0]
+        idx, corner_w, valid, (Zs, Ys, Xs) = _slab_geometry(
+            tr, slice_shape, (D, H, W), psf_shape, dtype
+        )
+        validf = valid.astype(dtype)
+        if mask8 is not None:
+            packed = jnp.take(
+                jnp.concatenate([vol8, mask8], axis=1), idx.reshape(-1), axis=0
+            )  # (nc*Np, 16) — one 64 B row per slab point
+            v8 = packed[:, :8].reshape(nc, -1, 8)
+            m8 = packed[:, 8:].reshape(nc, -1, 8)
+            cw = jnp.moveaxis(corner_w, 0, -1)  # (nc, Np, 8)
+            s_val = jnp.sum(cw * m8 * v8, axis=-1) * validf  # (nc, Np)
+            s_wt = jnp.sum(cw * m8, axis=-1) * validf
+        else:
+            v8 = jnp.take(vol8, idx.reshape(-1), axis=0).reshape(nc, -1, 8)
+            cw = jnp.moveaxis(corner_w, 0, -1)
+            s_val = jnp.sum(cw * v8, axis=-1) * validf
+            s_wt = validf  # trilinear weights sum to 1
+
+        slab = jnp.stack([s_val, s_wt], axis=1).reshape(nc, 2, Zs, Ys, Xs)
+        out = _depthwise_corr3d(slab, psf, "VALID")  # (nc, 2, 1, h, w)
+        val = out[:, 0, 0]
+        wt = out[:, 1, 0]
+        res = jnp.where(wt > 0, val / jnp.where(wt > 0, wt, 1.0), 0.0)
+        return res.reshape(nc, h * w), wt.reshape(nc, h * w)
+
+    if slice_chunk is None or n <= slice_chunk:
+        res, wt = chunk_fwd(transforms)
     else:
-        v8 = jnp.take(vol8, idx.reshape(-1), axis=0).reshape(n, -1, 8)
-        cw = jnp.moveaxis(corner_w, 0, -1)
-        s_val = jnp.sum(cw * v8, axis=-1) * validf
-        s_wt = validf  # trilinear weights sum to 1
+        tr_p, _ = _pad_chunk_transforms(transforms, slice_chunk)
+        res, wt = jax.lax.map(
+            chunk_fwd, tr_p.reshape(-1, slice_chunk, 3, 4)
+        )
+        res = res.reshape(-1, h * w)[:n]
+        wt = wt.reshape(-1, h * w)[:n]
 
-    slab = jnp.stack([s_val, s_wt], axis=1).reshape(n, 2, Zs, Ys, Xs)
-    out = _depthwise_corr3d(slab, psf, "VALID")  # (n, 2, 1, h, w)
-    val = out[:, 0, 0]
-    wt = out[:, 1, 0]
-
-    res = jnp.where(wt > 0, val / jnp.where(wt > 0, wt, 1.0), 0.0)
-    res = res.reshape(n, h * w)
-    wt = wt.reshape(n, h * w)
     if slices_mask is not None:
         sm = slices_mask.reshape(n, h * w)
         res = jnp.where(sm, res, 0.0)
@@ -391,8 +426,15 @@ def slice_acquisition(
     res_slice: float,
     need_weight: bool,
     interp_psf: bool,
+    slice_chunk: Optional[int] = None,
 ):
-    """Forward projection volume -> slices (reference slice_acq.py:166-190)."""
+    """Forward projection volume -> slices (reference slice_acq.py:166-190).
+
+    ``slice_chunk``: process slices in blocks of this size inside the
+    program (slab path only) — bounds the peak transient working set for
+    inference-scale problems; None (default) keeps the single-block
+    behavior used by training.
+    """
     vol_mask, slices_mask = _normalize_masks(vol_mask, slices_mask)
     vol3d = _as_vol3d(vol)
     vol_mask3d = None if vol_mask is None else _as_vol3d(vol_mask)
@@ -409,7 +451,8 @@ def slice_acquisition(
 
         def _fwd_slab(transforms, vol3d, vol_mask3d, slices_mask, psf):
             return _forward_slab_impl(
-                transforms, vol3d, vol_mask3d, slices_mask, psf, ss, psf_shape
+                transforms, vol3d, vol_mask3d, slices_mask, psf, ss, psf_shape,
+                slice_chunk,
             )
 
         out, wt = jax.checkpoint(_fwd_slab)(
@@ -495,7 +538,8 @@ _segment_sum_rows.defvjp(_segment_sum_rows_fwd, _segment_sum_rows_bwd)
 
 @partial(
     jax.jit,
-    static_argnames=("vol_shape", "psf_shape", "equalize", "return_weight"),
+    static_argnames=("vol_shape", "psf_shape", "equalize", "return_weight",
+                     "slice_chunk"),
 )
 def _adjoint_slab_impl(
     transforms,
@@ -507,6 +551,7 @@ def _adjoint_slab_impl(
     psf_shape,
     equalize,
     return_weight,
+    slice_chunk=None,
 ):
     n = transforms.shape[0]
     h, w = slices.shape[-2], slices.shape[-1]
@@ -515,53 +560,93 @@ def _adjoint_slab_impl(
     dtype = slices.dtype
     d_p, h_p, w_p = psf_shape
 
-    idx, corner_w, valid, (Zs, Ys, Xs) = _slab_geometry(
-        transforms, (h, w), (D, H, W), psf_shape, dtype
+    mask8 = (
+        None
+        if vol_mask3d is None
+        else _corner_pack(vol_mask3d.reshape(-1).astype(dtype), W, HW)
     )
-    validf = valid.astype(dtype)
 
-    # pass 1: per-pixel PSF weight = psf ⊛ valid (reference :517-560 adds the
-    # raw tap weight, no trilinear/mask factors)
-    wt = _depthwise_corr3d(
-        validf.reshape(n, 1, Zs, Ys, Xs), psf, "VALID"
-    )[:, 0, 0].reshape(n, h * w)
-    keep = wt >= 0.5
-    s = slices.reshape(n, h * w)
-    if slices_mask is not None:
-        keep = keep & slices_mask.reshape(n, h * w)
-    inv_wt = jnp.where(keep, 1.0 / jnp.where(keep, wt, 1.0), 0.0)
-    inv_wt = jax.lax.stop_gradient(inv_wt)
-    y = jnp.stack([jnp.where(keep, s, 0.0) * inv_wt, inv_wt], axis=1)
+    def chunk_adj(tr, s, sm):
+        """Splat one block of slices into (DHW,) value/weight accumulators.
+        Same working-set rationale as the forward's chunk_fwd."""
+        nc = tr.shape[0]
+        idx, corner_w, valid, (Zs, Ys, Xs) = _slab_geometry(
+            tr, (h, w), (D, H, W), psf_shape, dtype
+        )
+        validf = valid.astype(dtype)
 
-    # pass 2: conv-transpose the pixel fields onto the slab — true conv
-    # (kernel flipped on all axes) with FULL padding; the z-axis selects
-    # psf[uz] since the pixel plane sits at a single uz
-    G = jax.lax.conv_general_dilated(
-        y.reshape(n, 2, 1, h, w),
-        jnp.broadcast_to(
-            psf[::-1, ::-1, ::-1][None, None], (2, 1) + psf_shape
-        ).astype(dtype),
-        window_strides=(1, 1, 1),
-        padding=[(d_p - 1, d_p - 1), (h_p - 1, h_p - 1), (w_p - 1, w_p - 1)],
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        feature_group_count=2,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (n, 2, Zs, Ys, Xs)
-    G = G.reshape(n, 2, -1)
+        # pass 1: per-pixel PSF weight = psf ⊛ valid (reference :517-560
+        # adds the raw tap weight, no trilinear/mask factors)
+        wt = _depthwise_corr3d(
+            validf.reshape(nc, 1, Zs, Ys, Xs), psf, "VALID"
+        )[:, 0, 0].reshape(nc, h * w)
+        keep = wt >= 0.5
+        sf = s.reshape(nc, h * w)
+        if sm is not None:
+            keep = keep & sm.reshape(nc, h * w)
+        inv_wt = jnp.where(keep, 1.0 / jnp.where(keep, wt, 1.0), 0.0)
+        inv_wt = jax.lax.stop_gradient(inv_wt)
+        y = jnp.stack([jnp.where(keep, sf, 0.0) * inv_wt, inv_wt], axis=1)
 
-    cw = jnp.moveaxis(corner_w, 0, -1)  # (n, Np, 8)
-    if vol_mask3d is not None:
-        mask8 = _corner_pack(vol_mask3d.reshape(-1).astype(dtype), W, HW)
-        cm = jnp.take(mask8, idx.reshape(-1), axis=0).reshape(cw.shape)
-        cw = cw * cm
-    cwv = cw * validf[..., None]  # (n, Np, 8)
-    rows = jnp.concatenate(
-        [cwv * G[:, 0][..., None], cwv * G[:, 1][..., None]], axis=-1
-    ).reshape(-1, 16)
-    acc = _segment_sum_rows(rows, idx.reshape(-1), D * H * W)  # (DHW, 16)
+        # pass 2: conv-transpose the pixel fields onto the slab — true conv
+        # (kernel flipped on all axes) with FULL padding; the z-axis selects
+        # psf[uz] since the pixel plane sits at a single uz
+        G = jax.lax.conv_general_dilated(
+            y.reshape(nc, 2, 1, h, w),
+            jnp.broadcast_to(
+                psf[::-1, ::-1, ::-1][None, None], (2, 1) + psf_shape
+            ).astype(dtype),
+            window_strides=(1, 1, 1),
+            padding=[(d_p - 1, d_p - 1), (h_p - 1, h_p - 1), (w_p - 1, w_p - 1)],
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            feature_group_count=2,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (nc, 2, Zs, Ys, Xs)
+        G = G.reshape(nc, 2, -1)
 
-    vol_acc = _corner_unpack(acc[:, :8].astype(dtype), W, HW)
-    vw_acc = _corner_unpack(acc[:, 8:].astype(dtype), W, HW)
+        cw = jnp.moveaxis(corner_w, 0, -1)  # (nc, Np, 8)
+        if mask8 is not None:
+            cm = jnp.take(mask8, idx.reshape(-1), axis=0).reshape(cw.shape)
+            cw = cw * cm
+        cwv = cw * validf[..., None]  # (nc, Np, 8)
+        rows = jnp.concatenate(
+            [cwv * G[:, 0][..., None], cwv * G[:, 1][..., None]], axis=-1
+        ).reshape(-1, 16)
+        acc = _segment_sum_rows(rows, idx.reshape(-1), D * H * W)  # (DHW, 16)
+        return (
+            _corner_unpack(acc[:, :8].astype(dtype), W, HW),
+            _corner_unpack(acc[:, 8:].astype(dtype), W, HW),
+        )
+
+    if slice_chunk is None or n <= slice_chunk:
+        vol_acc, vw_acc = chunk_adj(transforms, slices, slices_mask)
+    else:
+        tr_p, n_pad = _pad_chunk_transforms(transforms, slice_chunk)
+        s_p = jnp.concatenate(
+            [slices.reshape(n, h * w),
+             jnp.zeros((n_pad, h * w), dtype)], axis=0
+        ).reshape(-1, slice_chunk, h * w)
+        if slices_mask is not None:
+            sm_p = jnp.concatenate(
+                [slices_mask.reshape(n, h * w),
+                 jnp.zeros((n_pad, h * w), slices_mask.dtype)], axis=0
+            ).reshape(-1, slice_chunk, h * w)
+
+        def body(carry, xs):
+            if slices_mask is not None:
+                tr, s, sm = xs
+            else:
+                (tr, s), sm = xs, None
+            dv, dw = chunk_adj(tr, s, sm)
+            return (carry[0] + dv, carry[1] + dw), None
+
+        init = (jnp.zeros(D * H * W, dtype), jnp.zeros(D * H * W, dtype))
+        xs = (
+            (tr_p.reshape(-1, slice_chunk, 3, 4), s_p, sm_p)
+            if slices_mask is not None
+            else (tr_p.reshape(-1, slice_chunk, 3, 4), s_p)
+        )
+        (vol_acc, vw_acc), _ = jax.lax.scan(body, init, xs)
 
     if equalize:
         vol_acc = _equalize(vol_acc, vw_acc)
@@ -703,8 +788,10 @@ def slice_acquisition_adjoint(
     interp_psf: bool,
     equalize: bool,
     return_weight: bool = False,
+    slice_chunk: Optional[int] = None,
 ):
-    """Adjoint splat slices -> volume (reference slice_acq.py:193-211)."""
+    """Adjoint splat slices -> volume (reference slice_acq.py:193-211).
+    ``slice_chunk`` as in :func:`slice_acquisition` (slab path only)."""
     vol_mask, slices_mask = _normalize_masks(vol_mask, slices_mask)
     vol_mask3d = None if vol_mask is None else _as_vol3d(vol_mask)
     psf_shape = tuple(psf.shape)
@@ -724,6 +811,7 @@ def slice_acquisition_adjoint(
                 psf_shape,
                 bool(equalize),
                 bool(return_weight),
+                slice_chunk,
             )
 
         return jax.checkpoint(_adj_slab)(

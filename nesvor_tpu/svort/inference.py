@@ -38,10 +38,22 @@ from .registration import VVR, resample
 from .srr import SRR, PSFreconstruction
 
 
-# Pipeline working resolutions (reference :449-450): slices are resampled
-# to 1 mm in-plane; SRR working volumes are reconstructed at 0.8 mm.
+# Pipeline working resolutions. Slices are resampled to 1 mm in-plane
+# (reference :449-450). The reference reconstructs its SRR *working*
+# volumes (pose-scoring / model conditioning only — never the final
+# output) at 0.8 mm; here the default is 1 mm, for two reasons:
+#   * res_slice/res_recon == 1 engages the exact slab factorization of
+#     the PSF projector (ops/slice_acq.py) — at ratio 1.25 every
+#     projector call inside the CG solves falls to the tap-scan path,
+#     ~40x slower, and the composed CG programs exceed the remote
+#     executor's device-program limit;
+#   * the shipped checkpoints are TRAINED with a 1 mm conditioning
+#     volume (svort/train.py res_s == res_r == 1.0), so 1 mm at
+#     inference removes a train/test mismatch.
+# Converted reference Zenodo checkpoints (trained at 0.8 mm) can restore
+# the reference behavior with NESVOR_TPU_SVORT_RES_RECON=0.8.
 _RES_SLICE_MM = 1.0
-_RES_RECON_MM = 0.8
+_RES_RECON_MM = float(os.environ.get("NESVOR_TPU_SVORT_RES_RECON", "1.0"))
 
 # Classical VVR schedule used for stack-to-stack registration
 # (reference :320-330): 3-level coarse-to-fine pyramid, 4 step-halvings of
@@ -57,8 +69,21 @@ _VVR_SCHEDULE = dict(
 )
 
 # Working volume for the quick stack-level SRR used only for scoring
-# (reference :394): generous fixed bound so any padded stack fits.
-_SRR_SCORING_VOLUME = (256, 256, 256)
+# (reference :394): generous fixed bound so any padded stack fits —
+# the reference's 256 voxels at 0.8 mm (204.8 mm cube), re-derived at
+# the working resolution (rounded up to a 32-voxel bucket).
+def svort_volume_shape(res_r: float) -> Tuple[int, int, int]:
+    n = -(-int(np.ceil(256 * 0.8 / res_r)) // 32) * 32
+    return (n, n, n)
+
+
+_SRR_SCORING_VOLUME = svort_volume_shape(_RES_RECON_MM)
+
+# Projector slice-block size inside inference-scale programs (CG solves and
+# simulated-NCC forwards over hundreds of slices): bounds each program's
+# transient gather working set so composed solves fit HBM alongside the
+# model parameters and earlier phases' buffers.
+_SLICE_CHUNK = 32
 
 
 def compute_score(ncc, ncc_weight) -> float:
@@ -223,6 +248,7 @@ def simulated_ncc(
             res_s / res_r,
             False,
             False,
+            slice_chunk=_SLICE_CHUNK,
         )
         ncc_weight.append(stack_mask.sum((1, 2, 3)))
         ncc.append(
@@ -370,6 +396,7 @@ def _projector_params(slice_shape, res_s, s_thick, res_r) -> dict:
         "res_r": res_r,
         "s_thick": s_thick,
         "volume_shape": _SRR_SCORING_VOLUME,
+        "slice_chunk": _SLICE_CHUNK,
     }
 
 
@@ -458,8 +485,12 @@ def _vvr_register(data, transforms_stack_full, n_stack_recon, res_s, res_r):
     return transforms_vvr, score
 
 
-def run_svort(dataset: List[Stack], model, model_params, svort, vvr, force_vvr):
-    """Full registration pipeline + svort-vs-vvr scoring (reference :447-562)."""
+def run_svort(dataset: List[Stack], model, model_params, svort, vvr, force_vvr,
+              free_params: bool = False):
+    """Full registration pipeline + svort-vs-vvr scoring (reference :447-562).
+
+    ``free_params=True`` (the CLI path) releases the model weights from
+    device memory once the SVoRT branch has produced its transforms."""
     res_s = _RES_SLICE_MM
     res_r = _RES_RECON_MM
 
@@ -477,6 +508,14 @@ def run_svort(dataset: List[Stack], model, model_params, svort, vvr, force_vvr):
             _svort_register(data, model, model_params, res_s, res_r)
         )
         logging.info("similarity score for SVoRT = %f", score_svort)
+        if free_params:
+            # the transformer weights (hundreds of MB on device) are not
+            # needed by the VVR branch; drop them before its SRR scoring
+            # solves so both phases' peaks don't stack up in HBM
+            model_params.clear()
+            import gc
+
+            gc.collect()
     if vvr:
         transforms_vvr, score_vvr = _vvr_register(
             data, transforms_stack_full,
@@ -562,4 +601,6 @@ def svort_predict(
             )
             svort = False
             vvr = True
-    return run_svort(dataset, model, model_params, svort, vvr, force_vvr)
+    return run_svort(
+        dataset, model, model_params, svort, vvr, force_vvr, free_params=True
+    )

@@ -112,6 +112,7 @@ class SVRtransformer:
                     psf_params["slice_shape"],
                     psf_params["res_s"] / psf_params["res_r"],
                     False, psf_params["interp_psf"],
+                    slice_chunk=psf_params.get("slice_chunk"),
                 )
             )
         pos_full = jnp.concatenate((theta, pos), -1)
@@ -165,6 +166,7 @@ class SVRtransformerV2(SVRtransformer):
                     psf_params["slice_shape"],
                     psf_params["res_s"] / psf_params["res_r"],
                     False, psf_params["interp_psf"],
+                    slice_chunk=psf_params.get("slice_chunk"),
                 )
             )
         pos_full = jnp.concatenate((theta, pos), -1)
@@ -227,6 +229,7 @@ class SRRtransformer:
             psf_params["slice_shape"],
             psf_params["res_s"] / psf_params["res_r"],
             False, psf_params["interp_psf"],
+            slice_chunk=psf_params.get("slice_chunk"),
         )
         idx_full = jnp.concatenate((theta, idx), -1)
         x_img = jnp.concatenate((slices, slices_est), 1)
@@ -299,6 +302,9 @@ class SVoRT:
             "res_r": data["resolution_recon"],
             "s_thick": data["slice_thickness"],
             "volume_shape": data["volume_shape"],
+            # present only on inference-scale inputs (run_model*): bounds
+            # the projector programs' transient working set
+            "slice_chunk": data.get("slice_chunk"),
         }
         transforms = RigidTransform(data["transforms"])
         stacks = data["stacks"]
@@ -392,6 +398,9 @@ class SVoRTv2:
             "res_r": data["resolution_recon"],
             "s_thick": data["slice_thickness"],
             "volume_shape": data["volume_shape"],
+            # present only on inference-scale inputs (run_model*): bounds
+            # the projector programs' transient working set
+            "slice_chunk": data.get("slice_chunk"),
         }
         transforms = RigidTransform(data["transforms"])
         stacks = data["stacks"]
@@ -449,7 +458,7 @@ def run_model(transforms, stacks, model, params, res_s, s_thick, res_r):
     """v1: run stacks in triplets with 2 anchor stacks, rotation-averaged
     stack correction (reference inference.py:67-131)."""
     from ..utils import get_PSF
-    from .inference import average_rotation
+    from .inference import average_rotation, svort_volume_shape
 
     slice_shape = stacks[0].shape[-2:]
     positions = [
@@ -470,7 +479,8 @@ def run_model(transforms, stacks, model, params, res_s, s_thick, res_r):
             "resolution_slice": res_s,
             "resolution_recon": res_r,
             "slice_thickness": s_thick,
-            "volume_shape": (256, 256, 256),
+            "volume_shape": svort_volume_shape(res_r),
+            "slice_chunk": 32,
             "transforms": RigidTransform.cat(
                 [transforms[idx] for idx in idxes]
             ).matrix(),
@@ -516,6 +526,7 @@ def run_model(transforms, stacks, model, params, res_s, s_thick, res_r):
 def run_model_all_stack(transforms, stacks, model, params, res_s, s_thick, res_r):
     """v2: all stacks at once (reference inference.py:134-173)."""
     from ..utils import get_PSF
+    from .inference import svort_volume_shape
 
     slice_shape = stacks[0].shape[-2:]
     positions = jnp.concatenate(
@@ -539,7 +550,8 @@ def run_model_all_stack(transforms, stacks, model, params, res_s, s_thick, res_r
         "resolution_slice": res_s,
         "resolution_recon": res_r,
         "slice_thickness": s_thick,
-        "volume_shape": (256, 256, 256),
+        "volume_shape": svort_volume_shape(res_r),
+        "slice_chunk": 32,
         "transforms": RigidTransform.cat(transforms).matrix(),
         "stacks": jnp.concatenate(stacks, axis=0),
         "positions": positions,

@@ -114,6 +114,7 @@ def make_system(transforms, params, vol_mask=None, slices_mask=None):
             transforms, x, vol_mask, slices_mask,
             params["psf"], params["slice_shape"], res_ratio,
             False, params["interp_psf"],
+            slice_chunk=params.get("slice_chunk"),
         )
 
     def At(y):
@@ -121,6 +122,7 @@ def make_system(transforms, params, vol_mask=None, slices_mask=None):
             transforms, params["psf"], y, slices_mask, vol_mask,
             params["volume_shape"], res_ratio,
             params["interp_psf"], False,
+            slice_chunk=params.get("slice_chunk"),
         )
 
     return A, At
@@ -133,6 +135,7 @@ def PSFreconstruction(transforms, slices, slices_mask, vol_mask, params):
         transforms, params["psf"], slices, slices_mask, vol_mask,
         params["volume_shape"], params["res_s"] / params["res_r"],
         params["interp_psf"], True,
+        slice_chunk=params.get("slice_chunk"),
     )
 
 

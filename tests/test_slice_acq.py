@@ -359,3 +359,29 @@ def test_slab_grad_matches_taps():
     gs_f = jax.grad(loss_adj_fast)(slices)
     gs_r = jax.grad(loss_adj_ref)(slices)
     assert_close(gs_f, gs_r, atol=5e-4, rtol=5e-4)
+
+
+def test_slab_slice_chunk_equivalence():
+    """slice_chunk (block-scanned slab programs, used by SVoRT inference to
+    bound HBM transients) is numerically equivalent to the single-block
+    path, including a ragged final block and both mask kinds."""
+    vol, vmask, slices, smask, mats, psf, ss, vshape = _rand_case(seed=7)
+
+    a, aw = slice_acquisition(
+        mats, vol, vmask, smask, psf, ss, 1.0, True, False
+    )
+    b, bw = slice_acquisition(
+        mats, vol, vmask, smask, psf, ss, 1.0, True, False, slice_chunk=2
+    )
+    assert_close(a, b, atol=1e-5, rtol=1e-5)
+    assert_close(aw, bw, atol=1e-5, rtol=1e-5)
+
+    for equalize in (False, True):
+        va = slice_acquisition_adjoint(
+            mats, psf, slices, smask, vmask, vshape, 1.0, False, equalize
+        )
+        vb = slice_acquisition_adjoint(
+            mats, psf, slices, smask, vmask, vshape, 1.0, False, equalize,
+            slice_chunk=2,
+        )
+        assert_close(va, vb, atol=1e-5, rtol=1e-4)
