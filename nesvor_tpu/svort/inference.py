@@ -82,8 +82,11 @@ _SRR_SCORING_VOLUME = svort_volume_shape(_RES_RECON_MM)
 # Projector slice-block size inside inference-scale programs (CG solves and
 # simulated-NCC forwards over hundreds of slices): bounds each program's
 # transient gather working set so composed solves fit HBM alongside the
-# model parameters and earlier phases' buffers.
-_SLICE_CHUNK = 32
+# model parameters and earlier phases' buffers. 64 balances the adjoint's
+# per-chunk volume-side overhead against transient size (sweep in
+# scripts/bench_proj_chunk.py: adj 3.0 s @32 -> 2.4 s @64 -> 2.1 s @128;
+# fwd flat; transients scale linearly with the chunk).
+_SLICE_CHUNK = 64
 
 
 def compute_score(ncc, ncc_weight) -> float:

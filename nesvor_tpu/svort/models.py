@@ -480,7 +480,7 @@ def run_model(transforms, stacks, model, params, res_s, s_thick, res_r):
             "resolution_recon": res_r,
             "slice_thickness": s_thick,
             "volume_shape": svort_volume_shape(res_r),
-            "slice_chunk": 32,
+            "slice_chunk": 64,
             "transforms": RigidTransform.cat(
                 [transforms[idx] for idx in idxes]
             ).matrix(),
@@ -551,7 +551,7 @@ def run_model_all_stack(transforms, stacks, model, params, res_s, s_thick, res_r
         "resolution_recon": res_r,
         "slice_thickness": s_thick,
         "volume_shape": svort_volume_shape(res_r),
-        "slice_chunk": 32,
+        "slice_chunk": 64,
         "transforms": RigidTransform.cat(transforms).matrix(),
         "stacks": jnp.concatenate(stacks, axis=0),
         "positions": positions,
