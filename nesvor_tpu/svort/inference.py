@@ -324,32 +324,53 @@ def stack_registration(transforms_list, transform_target, stacks, res_s, s_thick
     t_target = t_mean(transform_target)
     ts_in = [[t_mean(t) for t in transforms] for transforms in transforms_list]
     params = {"res_s": res_s, "s_thick": s_thick}
+    # global NCC is computed per batch row, so every (stack, candidate)
+    # problem can share one optimizer run (the VVR optimizer is batched
+    # with per-sample accept/freeze masks)
     vvr = VVR(
-        loss=lambda s, x, y: ncc_loss(x[None], y[None], win=None, reduction="none"),
+        loss=lambda s, x, y: ncc_loss(x, y, win=None, reduction="none"),
         **_VVR_SCHEDULE,
     )
     trans_first = False
 
-    def register_to_target(j: int) -> RigidTransform:
-        """Register stack j's center slice to stack 0's, multi-init over the
-        candidate transform sets (each set proposes its own relative pose of
-        stack j w.r.t. the target); keep the lowest-NCC result."""
-        source = stacks[j][:, 0][None, None]
-        target = stacks[0][:, 0][None, None]
-        attempts = []
+    # One BATCHED multi-init problem: a sample per (stack j>=1, candidate
+    # set), grouped by source-volume shape so each group is one VVR run.
+    # The reference (and rounds <=5 here) optimized each sample in its own
+    # sequential run — ~10 single-sample optimizations whose host-synced
+    # iteration loops cost ~500 s through the dispatch tunnel; batched,
+    # the same iterations run once over all samples (~10x fewer
+    # dispatches, per-sample results unchanged — each sample keeps its own
+    # accept mask and the target/grid are shared by construction).
+    target = stacks[0][:, 0][None, None]
+    entries = []  # (stack index j, init pose)
+    for j in range(1, len(stacks)):
         for cands in ts_in:
             ax0 = (
                 t_target.compose(cands[0].inv())
                 .compose(cands[j])
                 .axisangle(trans_first=trans_first)
             )
-            ax, ncc = vvr(ax0, source, target, params, t_target, trans_first)
-            attempts.append((float(ncc.reshape(-1)[0]), ax))
-        best_ax = min(attempts, key=lambda a: a[0])[1]
-        return RigidTransform(best_ax, trans_first=trans_first)
+            entries.append((j, ax0))
+    by_shape: dict = {}
+    for i, (j, _) in enumerate(entries):
+        by_shape.setdefault(tuple(stacks[j].shape), []).append(i)
+    best: dict = {}  # j -> (ncc, ax row)
+    for idxs in by_shape.values():
+        ax_b = jnp.concatenate([entries[i][1] for i in idxs], 0)
+        src = jnp.concatenate(
+            [stacks[entries[i][0]][:, 0][None, None] for i in idxs], 0
+        )
+        ax_out, ncc = vvr(ax_b, src, target, params, t_target, trans_first)
+        ncc_np = np.asarray(ncc).reshape(-1)
+        for row, i in enumerate(idxs):
+            j = entries[i][0]
+            cand = (float(ncc_np[row]), ax_out[row : row + 1])
+            if j not in best or cand[0] < best[j][0]:
+                best[j] = cand
 
     ts_registered = [t_target] + [
-        register_to_target(j) for j in range(1, len(stacks))
+        RigidTransform(best[j][1], trans_first=trans_first)
+        for j in range(1, len(stacks))
     ]
 
     t_center_ax = np.asarray(

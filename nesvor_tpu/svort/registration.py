@@ -129,12 +129,9 @@ class Registration:
         """Evaluate a (n_groups*N)-row parameter batch with ONE warp, but
         apply the loss per N-sized group so custom loss callables keep the
         reference's batch contract (they see exactly the original batch)."""
-        if source.shape[0] not in (1, theta_big.shape[0]):
-            reps = (theta_big.shape[0] // source.shape[0],) + (1,) * (source.ndim - 1)
-            source = jnp.tile(source, reps)
-        if target.shape[0] not in (1, theta_big.shape[0]):
-            reps = (theta_big.shape[0] // target.shape[0],) + (1,) * (target.ndim - 1)
-            target = jnp.tile(target, reps)
+        # ``warp`` accepts any source batch that divides the parameter
+        # rows (rows are laid out [group0 samples | group1 samples | ...],
+        # so row g*N + i pairs with source i) — no tiling needed
         warped, tgt = self.warp(theta_big, source, target)
         losses = []
         for g in range(n_groups):
@@ -304,9 +301,17 @@ class VVR(Registration):
             packed = corner_pack_volume(source[0, 0])
             warped = jax.vmap(lambda g: grid_sample_3d(packed, g))(grid)
         else:
+            # k*Ns parameter rows over Ns sources (k = 1 for a plain batch,
+            # 13 for the finite-difference stencil): pack each source ONCE
+            # and sample every stencil group against the packed set
+            Ns = source.shape[0]
+            N = grid.shape[0]
+            assert N % Ns == 0, (N, Ns)
+            packed = jax.vmap(corner_pack_volume)(source[:, 0])
+            grid_r = grid.reshape(N // Ns, Ns, *grid.shape[1:])
             warped = jax.vmap(
-                lambda v, g: grid_sample_3d(corner_pack_volume(v), g)
-            )(source[:, 0], grid)
+                lambda gr: jax.vmap(grid_sample_3d)(packed, gr)
+            )(grid_r).reshape(N, *grid.shape[1:-1])
         tgt = jnp.broadcast_to(
             self._target_flat[None], (theta.shape[0],) + self._target_flat.shape
         )
