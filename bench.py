@@ -27,6 +27,37 @@ import numpy as np
 
 NOMINAL_A100_WALL_S = 300.0
 
+# TPU v5e (v5 lite) single-chip peaks: 197 TFLOP/s bf16, 819 GB/s HBM
+# (public spec). The MFU/bandwidth extras attribute where the step time
+# goes (VERDICT r05 item 8): PERF.md's fusion-level analysis shows the
+# fourier-config XLA chain is HBM-bound at ~650-690 GB/s, so a perf
+# regression should show up as hbm_gbps_est falling, not mfu_est.
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_HBM_GBPS = 819.0
+
+
+def _mfu_extras(run_stats, steady_ms):
+    """mfu_est + hbm_gbps_est from the compiled step's XLA cost analysis
+    (train() records per-step flops/bytes when report_cost_analysis is on).
+    Best-effort: empty when the platform exposes no cost analysis."""
+    cost = run_stats.get("cost_per_step")
+    if not cost or not steady_ms:
+        return {}
+    step_s = steady_ms / 1e3
+    out = {}
+    if cost.get("flops"):
+        out["flops_per_step_g"] = round(cost["flops"] / 1e9, 2)
+        out["mfu_est"] = round(
+            cost["flops"] / step_s / (V5E_PEAK_BF16_TFLOPS * 1e12), 4
+        )
+    if cost.get("bytes_accessed"):
+        out["hbm_gb_per_step"] = round(cost["bytes_accessed"] / 1e9, 2)
+        out["hbm_gbps_est"] = round(cost["bytes_accessed"] / step_s / 1e9, 1)
+        out["hbm_frac_est"] = round(
+            cost["bytes_accessed"] / step_s / 1e9 / V5E_PEAK_HBM_GBPS, 3
+        )
+    return out
+
 
 def main():
     import logging
@@ -88,6 +119,7 @@ def main():
         learning_rate=5e-3, gamma=0.33, milestones=[0.5, 0.75, 0.9],
         n_iter=n_iter, batch_size=4096, n_samples=256,
         seed=0, mask_threshold=1.0,
+        report_cost_analysis=True,
     )
 
     t0 = time.time()
@@ -234,10 +266,39 @@ def main():
         "sample_breakdown": SAMPLE_STATS,
         "iters_per_s": round(n_iter / train_s, 2),
         "steady_ms_per_step": round(steady_ms, 1),
+        **_mfu_extras(LAST_RUN_STATS, steady_ms),
         "compile_and_setup_s": round(compile_s, 1),
         "wall_5000_iters_est_s": round(extrapolated_5000, 1),
         "device": str(jax.devices()[0]),
     }
+
+    # --- second block: the COMPOSED pipeline on the reference's primary
+    # UX (corrupted stacks -> register -> reconstruct -> volume; reference
+    # cli/commands.py:100-124, BASELINE.json configs[3-4]) so the driver
+    # artifact carries the through-registration number, not just the
+    # motion-free bound (VERDICT r05 item 2). Cacheable: the brain sim and
+    # compile caches persist across runs. Skippable via
+    # NESVOR_BENCH_PIPELINE=0 (e.g. smoke runs with small n_iter).
+    import os
+
+    if os.environ.get("NESVOR_BENCH_PIPELINE", "1") != "0" and n_iter >= 5000:
+        try:
+            from scripts.bench_full_pipeline import run_pipeline
+
+            pipe = run_pipeline(vs=128, res=0.5, n_iter=5000)
+            pipe.pop("metric", None)
+            pipe.pop("device", None)
+            result["pipeline"] = pipe
+            # the quality floor: the composed run must stay within ~2 dB of
+            # the 21.49 dB known-pose full-config bound (PERF.md round-5);
+            # below 19.5 dB something regressed in registration OR the
+            # full-config reconstruct path (absorbs VERDICT r04 weak-#5)
+            result["pipeline_quality_floor_ok"] = bool(
+                pipe["psnr_db_gauge_fixed"] >= 19.5
+            )
+        except Exception as e:  # the first block still ships
+            result["pipeline_error"] = repr(e)
+
     print(json.dumps(result))
 
 

@@ -55,23 +55,25 @@ LAST_PARAMS: Dict = {}
 
 def _save_train_state(path: str, params, opt_state, key, done: int, args) -> None:
     """Mid-run training checkpoint (additive — the reference has model-level
-    checkpoints only, no resume; SURVEY.md §5). Atomic write so an
-    interrupt mid-save never corrupts the previous state."""
+    checkpoints only, no resume; SURVEY.md §5). Non-executable flat npz:
+    the pytree STRUCTURE is never stored — on load it is rebuilt from the
+    live (params, opt_state) of the current run, so unpickling-style code
+    execution is impossible. Atomic write so an interrupt mid-save never
+    corrupts the previous state."""
     import os
-    import pickle
 
-    to_np = lambda t: jax.tree_util.tree_map(lambda x: np.asarray(x), t)
-    payload = {
-        "params": to_np(params),
-        "opt_state": to_np(opt_state),
-        "key": np.asarray(key),
-        "done": int(done),
-        "n_iter": int(args.n_iter),
-        "seed": getattr(args, "seed", None),
-    }
+    leaves = jax.tree_util.tree_leaves((params, opt_state))
+    arrays = {f"leaf{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["key"] = np.asarray(key)
+    seed = getattr(args, "seed", None)
+    arrays["meta"] = np.asarray(
+        [int(done), int(args.n_iter), -1 if seed is None else int(seed),
+         len(leaves)],
+        np.int64,
+    )
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump(payload, f)
+        np.savez(f, **arrays)
     os.replace(tmp, path)
 
 
@@ -79,31 +81,39 @@ def _load_train_state(path: str, params, opt_state, args):
     """Restore (params, opt_state, key, done) from a mid-run checkpoint, or
     None when the checkpoint does not match the current run (different
     n_iter/seed or parameter structure) — callers then start fresh."""
-    import pickle
-
     with open(path, "rb") as f:
-        payload = pickle.load(f)
-    if payload.get("n_iter") != int(args.n_iter) or payload.get(
-        "seed"
-    ) != getattr(args, "seed", None):
-        logging.warning(
-            "train checkpoint %s is for a different run "
-            "(n_iter/seed mismatch); starting fresh", path,
-        )
-        return None
-    try:
-        to_jax = lambda ref, t: jax.tree_util.tree_map(
-            lambda r, x: jnp.asarray(x, getattr(r, "dtype", None)), ref, t
-        )
-        params = to_jax(params, payload["params"])
-        opt_state = to_jax(opt_state, payload["opt_state"])
-    except ValueError as e:
-        logging.warning(
-            "train checkpoint %s does not match the model structure (%s); "
-            "starting fresh", path, e,
-        )
-        return None
-    return params, opt_state, jnp.asarray(payload["key"]), payload["done"]
+        if f.read(2) != b"PK":
+            logging.warning(
+                "train checkpoint %s is a legacy pickle state (pre-npz); "
+                "not loading it — starting fresh", path,
+            )
+            return None
+    with np.load(path, allow_pickle=False) as data:
+        done, n_iter, seed, n_leaves = (int(v) for v in data["meta"])
+        want_seed = getattr(args, "seed", None)
+        if n_iter != int(args.n_iter) or seed != (
+            -1 if want_seed is None else int(want_seed)
+        ):
+            logging.warning(
+                "train checkpoint %s is for a different run "
+                "(n_iter/seed mismatch); starting fresh", path,
+            )
+            return None
+        ref_leaves, treedef = jax.tree_util.tree_flatten((params, opt_state))
+        if n_leaves != len(ref_leaves):
+            logging.warning(
+                "train checkpoint %s does not match the model structure "
+                "(%d vs %d leaves); starting fresh",
+                path, n_leaves, len(ref_leaves),
+            )
+            return None
+        leaves = [
+            jnp.asarray(data[f"leaf{i}"], getattr(r, "dtype", None))
+            for i, r in enumerate(ref_leaves)
+        ]
+        key = jnp.asarray(data["key"])
+    params, opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return params, opt_state, key, done
 
 
 @dataclass
@@ -344,9 +354,13 @@ def _decay_mask(params: Dict) -> Dict:
     )
 
 
-def _zero_grad_mask(params: Dict, cfg: NeSVoRConfig, var_warmup: int = 0):
+def _zero_grad_mask(
+    params: Dict, cfg: NeSVoRConfig, var_warmup: int = 0,
+    pose_lr_mult: float = 1.0,
+):
     """Freeze axisangle when transformation optimization is disabled; route
-    the variance/bias heads to their own group when a warmup is requested."""
+    the variance/bias heads to their own group when a warmup is requested;
+    route the slice poses to their own group when --pose-lr-mult != 1."""
 
     def label(path, leaf):
         names = [str(getattr(p, "key", "")) for p in path]
@@ -358,6 +372,8 @@ def _zero_grad_mask(params: Dict, cfg: NeSVoRConfig, var_warmup: int = 0):
             "sigma_net", "b_net", "log_var_slice"
         ):
             return "var"
+        if pose_lr_mult != 1.0 and names and names[0] == "axisangle":
+            return "pose"
         return "train"
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
@@ -374,8 +390,15 @@ def build_optimizer(params: Dict, cfg: NeSVoRConfig, args: Namespace):
     heads at zero LR for the first N iterations so the density net latches
     onto the signal before the noise model starts reweighting pixels — the
     decoupled-head collapse fix (PERF.md round-2 findings): a small head
-    adapts var fast enough early on to kill the density gradient."""
+    adapts var fast enough early on to kill the density gradient.
+
+    ``args.pose_lr_mult`` (optional, default 1.0) scales the slice-pose
+    (axisangle) learning rate relative to the shared schedule — a lever for
+    the composed register->reconstruct workload where joint pose
+    optimization must absorb per-slice registration residual (VERDICT r05
+    item 1)."""
     var_warmup = int(getattr(args, "var_warmup_iters", 0) or 0)
+    pose_lr_mult = float(getattr(args, "pose_lr_mult", 1.0) or 1.0)
     boundaries = {
         int(m * args.n_iter): args.gamma for m in args.milestones
     }
@@ -396,8 +419,12 @@ def build_optimizer(params: Dict, cfg: NeSVoRConfig, args: Namespace):
         groups["var"] = make_adamw(
             lambda count: jnp.where(count < var_warmup, 0.0, schedule(count))
         )
+    if pose_lr_mult != 1.0:
+        groups["pose"] = make_adamw(
+            lambda count: pose_lr_mult * schedule(count)
+        )
     tx = optax.multi_transform(
-        groups, _zero_grad_mask(params, cfg, var_warmup)
+        groups, _zero_grad_mask(params, cfg, var_warmup, pose_lr_mult)
     )
     return tx, schedule
 
@@ -440,6 +467,7 @@ def make_train_step(
     n_pixels: int,
     mesh=None,
     gauge_anchor: bool = True,
+    trans_reg_decay_iters: int = 0,
 ):
     """Build the jitted chunked train step.
 
@@ -455,19 +483,32 @@ def make_train_step(
     assert local_batch > 0, (batch_size, n_dev)
     anchor_poses = gauge_anchor and not cfg.no_transformation_optimization
 
-    def loss_fn(params, consts, batch, key):
+    def loss_fn(params, consts, batch, key, t_reg_w):
         losses = nesvor_loss(params, consts, cfg, bounding_box, batch, key)
         total = 0.0
         for k, w in loss_weights.items():
             if k in losses and w:
-                total = total + w * losses[k]
+                total = total + w * (t_reg_w if k == T_REG else 1.0) * losses[k]
         return total, losses
 
     def one_step(carry, step_key):
-        params, opt_state, consts, data = carry
+        params, opt_state, consts, data, step = carry
         if mesh is not None:
             step_key = jax.random.fold_in(step_key, jax.lax.axis_index("dp"))
         k_batch, k_mc = jax.random.split(step_key)
+        if trans_reg_decay_iters:
+            # anneal the deviation-from-init pose anchor to zero over the
+            # first N iterations: on the composed register->reconstruct
+            # workload the init poses carry the registration's residual
+            # error, and a constant transReg pins the refinement to them
+            # (VERDICT r05 item 1); the early anchor is kept so the density
+            # field forms before the poses float free
+            t_reg_w = jnp.clip(
+                1.0 - step.astype(jnp.float32) / trans_reg_decay_iters,
+                0.0, 1.0,
+            )
+        else:
+            t_reg_w = 1.0
         # data["v"].shape[0] is the per-device shard size under shard_map,
         # the full bag otherwise
         idx = jax.random.randint(k_batch, (local_batch,), 0, data["v"].shape[0])
@@ -476,7 +517,9 @@ def make_train_step(
             "v": data["v"][idx],
             "slice_idx": data["slice_idx"][idx],
         }
-        grads, losses = jax.grad(loss_fn, has_aux=True)(params, consts, batch, k_mc)
+        grads, losses = jax.grad(loss_fn, has_aux=True)(
+            params, consts, batch, k_mc, t_reg_w
+        )
         if mesh is not None:
             grads = jax.lax.pmean(grads, "dp")
             losses = jax.lax.pmean(losses, "dp")
@@ -493,11 +536,11 @@ def make_train_step(
                     params["axisangle"], consts["axisangle_init"]
                 ),
             )
-        return (params, opt_state, consts, data), losses
+        return (params, opt_state, consts, data, step + 1), losses
 
-    def scan_chunk(params, opt_state, consts, data, keys):
-        (params, opt_state, _, _), losses = jax.lax.scan(
-            one_step, (params, opt_state, consts, data), keys
+    def scan_chunk(params, opt_state, consts, data, step0, keys):
+        (params, opt_state, _, _, _), losses = jax.lax.scan(
+            one_step, (params, opt_state, consts, data, step0), keys
         )
         return params, opt_state, losses
 
@@ -508,7 +551,7 @@ def make_train_step(
         scan_chunk = shard_map(
             scan_chunk,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P("dp"), P()),
+            in_specs=(P(), P(), P(), P("dp"), P(), P()),
             out_specs=(P(), P(), P()),
             # the cellhash backward contains a pallas_call, whose output
             # avals carry no varying-mesh-axes info; skip the vma check
@@ -527,9 +570,11 @@ def make_train_step(
     names = sorted(names)
 
     @partial(jax.jit, static_argnames=("n_steps",))
-    def run_chunk_jit(params, opt_state, consts, data, key, n_steps: int):
+    def run_chunk_jit(params, opt_state, consts, data, key, step0, n_steps: int):
         keys = jax.random.split(key, n_steps)
-        params, opt_state, losses = scan_chunk(params, opt_state, consts, data, keys)
+        params, opt_state, losses = scan_chunk(
+            params, opt_state, consts, data, step0, keys
+        )
         assert sorted(losses) == names, (
             f"nesvor_loss emitted {sorted(losses)} but make_train_step "
             f"predicted {names}"
@@ -539,12 +584,17 @@ def make_train_step(
         # RTT; the dict form cost 6 RTTs per chunk)
         return params, opt_state, jnp.stack([losses[k] for k in names])
 
-    def run_chunk(params, opt_state, consts, data, key, n_steps: int):
+    def run_chunk(params, opt_state, consts, data, key, done: int, n_steps: int):
         params, opt_state, stack = run_chunk_jit(
-            params, opt_state, consts, data, key, n_steps
+            params, opt_state, consts, data, key,
+            jnp.asarray(done, jnp.int32), n_steps,
         )
         return params, opt_state, names, stack
 
+    # expose the jitted callable so train() can pull XLA cost analysis
+    # (per-step FLOPs / bytes for the bench MFU diagnostic) off the
+    # already-compiled executable
+    run_chunk.jitted = run_chunk_jit
     return run_chunk
 
 
@@ -630,10 +680,12 @@ def train(
         data = shard_pixel_bag(data, mesh)
         logging.info("data-parallel training over %d devices", n_dp)
 
+    trans_reg_decay = float(getattr(args, "trans_reg_decay_frac", 0.0) or 0.0)
     run_chunk = make_train_step(
         cfg, bounding_box, loss_weights, tx, args.batch_size, n_pixels,
         mesh=mesh,
         gauge_anchor=not getattr(args, "no_gauge_anchor", False),
+        trans_reg_decay_iters=int(trans_reg_decay * args.n_iter),
     )
 
     # fixed-size dispatch chunks: LR milestones live inside the optax
@@ -684,7 +736,7 @@ def train(
         t_chunk = time.time()
         with jax.profiler.StepTraceAnnotation("train_chunk", step_num=done):
             params, opt_state, loss_names, loss_stack = run_chunk(
-                params, opt_state, consts, data, k_chunk, n_steps
+                params, opt_state, consts, data, k_chunk, done, n_steps
             )
         losses = dict(zip(loss_names, np.asarray(loss_stack)))  # one fetch
         dt_chunk = time.time() - t_chunk
@@ -749,6 +801,32 @@ def train(
 
         if os.path.exists(ckpt_path):
             os.remove(ckpt_path)
+
+    if getattr(args, "report_cost_analysis", False):
+        # XLA cost analysis of the steady-state chunk program, normalized
+        # per step — feeds the bench MFU / HBM-bandwidth diagnostic
+        # (VERDICT r05 item 8). With the persistent compile cache on, the
+        # .lower().compile() below is a cache hit, not a recompile.
+        try:
+            key, k_ca = jax.random.split(key)
+            ca = (
+                run_chunk.jitted.lower(
+                    params, opt_state, consts, data, k_ca,
+                    jnp.asarray(0, jnp.int32), n_steps=max_chunk,
+                )
+                .compile()
+                .cost_analysis()
+            )
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            if ca:
+                LAST_RUN_STATS["cost_per_step"] = {
+                    "flops": float(ca.get("flops", 0.0)) / max_chunk,
+                    "bytes_accessed": float(ca.get("bytes accessed", 0.0))
+                    / max_chunk,
+                }
+        except Exception as e:  # cost analysis is best-effort diagnostics
+            logging.debug("cost analysis unavailable: %s", e)
 
     # outputs (reference train.py:223-232)
     transformation = RigidTransform(

@@ -133,7 +133,7 @@ def make_dp_train_step(
 
     def step(params, opt_state, consts, data, key):
         params, opt_state, names, stack = run_chunk(
-            params, opt_state, consts, data, key, 1
+            params, opt_state, consts, data, key, 0, 1
         )
         return params, opt_state, dict(zip(names, stack[:, -1]))
 

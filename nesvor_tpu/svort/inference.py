@@ -23,7 +23,7 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -509,14 +509,25 @@ def _vvr_register(data, transforms_stack_full, n_stack_recon, res_s, res_r):
     return transforms_vvr, score
 
 
+# per-phase telemetry of the most recent run_svort call (svort / vvr branch
+# walls, similarity scores, which branch won) — consumed by the driver bench
+# (bench.py pipeline block) and the severity-crossover study
+LAST_REGISTER_STATS: Dict[str, float] = {}
+
+
 def run_svort(dataset: List[Stack], model, model_params, svort, vvr, force_vvr,
               free_params: bool = False):
     """Full registration pipeline + svort-vs-vvr scoring (reference :447-562).
 
     ``free_params=True`` (the CLI path) releases the model weights from
-    device memory once the SVoRT branch has produced its transforms."""
+    device memory once the SVoRT branch has produced its transforms.
+    NOTE: this MUTATES the caller-owned ``model_params`` dict in place
+    (``dict.clear()``) — clearing the shared dict is the only way to drop
+    the device buffers while the caller's frame still holds a reference.
+    Pass ``free_params=False`` (the default) to reuse the dict afterwards."""
     res_s = _RES_SLICE_MM
     res_r = _RES_RECON_MM
+    LAST_REGISTER_STATS.clear()
 
     if svort or vvr:
         keys = (
@@ -528,9 +539,12 @@ def run_svort(dataset: List[Stack], model, model_params, svort, vvr, force_vvr,
     transforms_svort_full = transforms_stack_full = None
     score_svort = score_vvr = float("-inf")
     if svort:
+        _t = time.time()
         transforms_svort_full, transforms_stack_full, score_svort = (
             _svort_register(data, model, model_params, res_s, res_r)
         )
+        LAST_REGISTER_STATS["svort_s"] = time.time() - _t
+        LAST_REGISTER_STATS["score_svort"] = float(score_svort)
         logging.info("similarity score for SVoRT = %f", score_svort)
         if free_params:
             # the transformer weights (hundreds of MB on device) are not
@@ -541,11 +555,14 @@ def run_svort(dataset: List[Stack], model, model_params, svort, vvr, force_vvr,
 
             gc.collect()
     if vvr:
+        _t = time.time()
         transforms_vvr, score_vvr = _vvr_register(
             data, transforms_stack_full,
             (3 if model.version == "v1" else None) if svort else None,
             res_s, res_r,
         )
+        LAST_REGISTER_STATS["vvr_s"] = time.time() - _t
+        LAST_REGISTER_STATS["score_vvr"] = float(score_vvr)
         if np.isfinite(score_vvr):
             logging.info("similarity score for stack registration = %f", score_vvr)
 
@@ -553,9 +570,11 @@ def run_svort(dataset: List[Stack], model, model_params, svort, vvr, force_vvr,
         if score_svort < score_vvr or force_vvr:
             logging.info("use stack transformation")
             transforms_out = transforms_vvr
+            LAST_REGISTER_STATS["chosen"] = "vvr"
         else:
             logging.info("use slice transformation")
             transforms_out = transforms_svort_full
+            LAST_REGISTER_STATS["chosen"] = "svort"
         for stack, t in zip(dataset, transforms_out):
             stack.transformation = t
 

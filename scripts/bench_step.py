@@ -69,11 +69,11 @@ def main():
     run_chunk = T.make_train_step(cfg, bb, lw, tx, args.batch_size, n_pixels)
 
     t0 = time.time()
-    params, opt_state, names, stack = run_chunk(params, opt_state, consts, data, key, n_steps)
+    params, opt_state, names, stack = run_chunk(params, opt_state, consts, data, key, 0, n_steps)
     l0 = np.asarray(stack)[names.index(T.D_LOSS)]
     print(f"compile+first chunk ({n_steps} steps): {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
-    params, opt_state, names, stack = run_chunk(params, opt_state, consts, data, key, n_steps)
+    params, opt_state, names, stack = run_chunk(params, opt_state, consts, data, key, 0, n_steps)
     l1 = np.asarray(stack)[names.index(T.D_LOSS)]
     dt = time.time() - t0
     print(f"steady chunk: {dt:.2f}s -> {dt/n_steps*1e3:.0f} ms/step "

@@ -72,7 +72,7 @@ def main():
     k = jax.random.PRNGKey(42)
     for chunk in range(n_iter // 10):
         k, kc = jax.random.split(k)
-        params, opt_state, losses = run(params, opt_state, consts, data, kc, 10)
+        params, opt_state, losses = run(params, opt_state, consts, data, kc, chunk * 10, 10)
         msg = " ".join(
             f"{kk}={float(np.asarray(losses[kk])[-1]):.4f}" for kk in sorted(losses)
         )

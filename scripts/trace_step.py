@@ -67,7 +67,7 @@ def main():
 
     def once():
         p, o, names, stack = run_chunk(
-            params, opt_state, consts, data, key, n_steps
+            params, opt_state, consts, data, key, 0, n_steps
         )
         return np.asarray(stack)
 
