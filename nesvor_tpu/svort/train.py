@@ -34,7 +34,7 @@ from __future__ import annotations
 import logging
 import time
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -822,6 +822,7 @@ def held_out_gate(
     vs: int = 48,
     model=None,
     n_examples: int = 3,
+    seed_base: int = 777_000,
 ) -> Dict:
     """Evaluate ``params`` on held-out synthetic-motion examples and decide
     whether they clear the install bar used by tests/test_svort_pretrained.py:
@@ -843,7 +844,7 @@ def held_out_gate(
     if model is None:
         model = SVoRT(n_iter=3) if version == "v1" else SVoRTv2(n_iter=4)
     exs = [
-        make_training_example(cfg, seed=777_000 + s)
+        make_training_example(cfg, seed=seed_base + s)
         for s in range(n_examples)
     ]
     static = {
@@ -990,13 +991,69 @@ def gate_score(res: Dict) -> float:
     return float(np.sqrt(max(r, 1e-12) * max(t, 1e-12)))
 
 
-def _incumbent_gate(out: str, version: str, vs: int) -> Dict:
-    """Held-out gate result of the currently installed checkpoint at ``out``.
-    Reads the ``.gate.json`` metadata written at install time when it matches
-    this gate's config; otherwise re-evaluates the incumbent live (a fresh
-    held_out_gate call — its jitted forward is a new closure, so this path
-    pays one recompile; acceptable because it only runs when the metadata
-    is missing or stale)."""
+def gate_score_gauge(res: Dict) -> Optional[float]:
+    """Gauge-removed gate score — the PRIMARY install criterion (VERDICT
+    r05 item 4c): same geometric-mean-of-ratios form as ``gate_score`` but
+    on the gauge-removed errors, which exclude the ~90 mrad global SE(3)
+    component that is unobservable from content on random synthetic anatomy
+    (PERF.md orientation-floor analysis). Returns None for legacy results
+    that predate the gauge fields (callers then fall back to the raw
+    score)."""
+    if "rot_gauge_mrad" not in res or "trans_gauge_mm" not in res:
+        return None
+    r = res["rot_gauge_mrad"] / max(res["rot_init_mrad"], 1e-9)
+    t = res["trans_gauge_mm"] / max(res["trans_init_mm"], 1e-9)
+    return float(np.sqrt(max(r, 1e-12) * max(t, 1e-12)))
+
+
+def measure_gate_noise(
+    params: Dict,
+    version: str = "v1",
+    vs: int = 48,
+    n_draws: int = 5,
+    model=None,
+) -> Dict:
+    """Noise band of the held-out gate metric (VERDICT r05 item 4a): gate
+    one FIXED checkpoint across ``n_draws`` fresh held-out example draws
+    (disjoint seed blocks; draw 0 = the canonical gate seeds) and report
+    the spread. ``gate_and_install`` requires a candidate to beat the
+    incumbent by MORE than this band — a keep-if-better rule on a noisy
+    metric otherwise ratchets downward by selection alone."""
+    scores, gauge_scores, results = [], [], []
+    for d in range(n_draws):
+        res = held_out_gate(
+            params, version, vs, model=model,
+            seed_base=777_000 + 100_000 * d,
+        )
+        scores.append(gate_score(res))
+        g = gate_score_gauge(res)
+        if g is not None:
+            gauge_scores.append(g)
+        results.append(res)
+        logging.info(
+            "noise draw %d: score %.4f gauge %.4f", d, scores[-1],
+            g if g is not None else float("nan"),
+        )
+    out = {
+        "n_draws": n_draws,
+        "scores": scores,
+        "score_band": float(max(scores) - min(scores)),
+        "score_std": float(np.std(scores)),
+    }
+    if gauge_scores:
+        out["gauge_scores"] = gauge_scores
+        out["gauge_band"] = float(max(gauge_scores) - min(gauge_scores))
+        out["gauge_std"] = float(np.std(gauge_scores))
+    return out
+
+
+def _incumbent_record(out: str, version: str, vs: int) -> Dict:
+    """Full .gate.json record of the currently installed checkpoint at
+    ``out`` ({result, noise_band?, deploy?}). Reads the metadata written at
+    install time when it matches this gate's config; otherwise re-evaluates
+    the incumbent live (a fresh held_out_gate call — its jitted forward is
+    a new closure, so this path pays one recompile; acceptable because it
+    only runs when the metadata is missing or stale)."""
     import json
     import os
 
@@ -1006,24 +1063,32 @@ def _incumbent_gate(out: str, version: str, vs: int) -> Dict:
             with open(meta) as f:
                 rec = json.load(f)
             if rec.get("version") == version and rec.get("vs") == vs:
-                return rec["result"]
-        except (KeyError, ValueError):
+                assert "result" in rec
+                return rec
+        except (AssertionError, KeyError, ValueError):
             pass
     from .convert import load_converted
 
     logging.info("re-evaluating incumbent %s on the held-out gate", out)
-    return held_out_gate(load_converted(out), version, vs)
+    return {"result": held_out_gate(load_converted(out), version, vs)}
 
 
-def gate_and_install(params: Dict, version: str = "v1", vs: int = 48) -> Dict:
+def gate_and_install(
+    params: Dict, version: str = "v1", vs: int = 48,
+    deploy_leg: bool = True,
+) -> Dict:
     """Run ``held_out_gate`` and install the weights at the live checkpoint
     path (what ``--registration svort`` loads) only on a pass; otherwise save
     them next to it as .ungated.npz. When a live checkpoint already exists,
-    the candidate must also BEAT the incumbent's held-out ``gate_score`` —
-    passing the >20% bar alone must never replace a better shipped model with
-    a worse one (continuation runs restart the optimizer and can regress).
-    A passing-but-not-better candidate is kept as .candidate.npz. Returns the
-    gate result dict plus the ``path`` written."""
+    the candidate must BEAT the incumbent by MORE than the gate's measured
+    noise band (VERDICT r05 item 4: end-of-session gate evals oscillate; a
+    keep-if-better rule on a noisy metric ratchets downward by selection
+    alone), on the gauge-removed score when both sides carry it (item 4c),
+    else the raw score. A winning candidate must then also hold up on the
+    DEPLOYMENT-geometry leg (vs=128 — the 128x128-crop regime inference
+    actually runs, item 4b): improved there, and not worse than the
+    incumbent's recorded deploy score. A passing-but-not-better candidate is
+    kept as .candidate.npz. Returns the gate result dict plus ``path``."""
     import json
     import os
 
@@ -1031,38 +1096,82 @@ def gate_and_install(params: Dict, version: str = "v1", vs: int = 48) -> Dict:
 
     res = held_out_gate(params, version, vs)
     out = os.path.join(__checkpoint_dir, f"SVoRT_{version}.npz")
+    g = gate_score_gauge(res)
     print(
         f"held-out pose error: init {res['rot_init_mrad']:.1f} mrad / "
         f"{res['trans_init_mm']:.2f} mm -> trained {res['rot_mrad']:.1f} mrad"
-        f" / {res['trans_mm']:.2f} mm (score {gate_score(res):.4f})", flush=True,
+        f" / {res['trans_mm']:.2f} mm (score {gate_score(res):.4f}, "
+        f"gauge {g if g is None else round(g, 4)})", flush=True,
     )
     install = res["improved"]
+    inc_rec: Dict = {}
     if install and os.path.exists(out):
-        inc = _incumbent_gate(out, version, vs)
-        if gate_score(res) >= gate_score(inc):
+        inc_rec = _incumbent_record(out, version, vs)
+        inc = inc_rec["result"]
+        noise = inc_rec.get("noise_band", {})
+        cand_g, inc_g = gate_score_gauge(res), gate_score_gauge(inc)
+        if cand_g is not None and inc_g is not None:
+            band = float(noise.get("gauge_band", noise.get("score_band", 0.0)))
+            cand_s, inc_s, kind = cand_g, inc_g, "gauge"
+        else:
+            band = float(noise.get("score_band", 0.0))
+            cand_s, inc_s, kind = gate_score(res), gate_score(inc), "raw"
+        if not noise:
+            logging.warning(
+                "incumbent %s has no measured noise band — comparing at "
+                "band 0 (run scripts/gate_svort.py --noise-band to fix)",
+                out,
+            )
+        if cand_s >= inc_s - band:
             install = False
             print(
                 f"candidate passes the bar but does not beat the incumbent "
-                f"(score {gate_score(res):.4f} vs {gate_score(inc):.4f}) — "
+                f"by more than the gate noise band ({kind} score "
+                f"{cand_s:.4f} vs {inc_s:.4f} - band {band:.4f}) — "
                 f"keeping the installed checkpoint", flush=True,
             )
             res["incumbent"] = inc
             out = out.replace(".npz", ".candidate.npz")
-    elif not res["improved"]:
+    deploy = None
+    if install and deploy_leg:
+        deploy = held_out_gate(params, version, vs=128, n_examples=2)
+        inc_deploy = inc_rec.get("deploy")
+        print(
+            f"deploy-geometry leg (vs=128): init "
+            f"{deploy['rot_init_mrad']:.1f} mrad -> {deploy['rot_mrad']:.1f} "
+            f"mrad (score {gate_score(deploy):.4f}, "
+            f"improved={deploy['improved']})", flush=True,
+        )
+        if not deploy["improved"] or (
+            inc_deploy and gate_score(deploy) > gate_score(inc_deploy)
+        ):
+            install = False
+            print(
+                "candidate wins at gate geometry but fails the "
+                "deployment-geometry leg — keeping the installed "
+                "checkpoint", flush=True,
+            )
+            out = out.replace(".npz", ".candidate.npz")
+    if not res["improved"]:
         out = out.replace(".npz", ".ungated.npz")
     save_params(out, params)
     if install:
+        record = {
+            "version": version,
+            "vs": vs,
+            "result": res,
+            "gate_score": gate_score(res),
+            "gate_score_gauge": gate_score_gauge(res),
+        }
+        if deploy is not None:
+            record["deploy"] = dict(deploy)
+        # the noise band is a property of the gate metric, not of one
+        # checkpoint — carry the incumbent's measurement forward so the
+        # next install is still band-protected
+        if inc_rec.get("noise_band"):
+            record["noise_band"] = inc_rec["noise_band"]
         with open(out + ".gate.json", "w") as f:
-            json.dump(
-                {
-                    "version": version,
-                    "vs": vs,
-                    "result": res,
-                    "gate_score": gate_score(res),
-                },
-                f,
-                indent=1,
-            )
+            json.dump(record, f, indent=1)
         print(f"saved {out}", flush=True)
     else:
         print(f"not installed; weights at {out}", flush=True)

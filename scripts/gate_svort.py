@@ -10,11 +10,17 @@ evaluates the inference (while_loop CG) form of the model — what
 
 Usage: python scripts/gate_svort.py [snapshot_path] [version] [vs]
        python scripts/gate_svort.py --regate [version] [vs]
+       python scripts/gate_svort.py --noise-band [version] [vs] [n_draws]
 
 --regate re-evaluates the INSTALLED checkpoint for ``version`` and rewrites
 its .gate.json from the live run — used when an install record predates the
 machine-written artifact (VERDICT r03 item 7: v1's record was transcribed
 from a run log).
+
+--noise-band measures the gate metric's noise band on the INSTALLED
+checkpoint across N fresh held-out draws and merges it into its .gate.json
+(VERDICT r05 item 4a); gate_and_install then requires future candidates to
+beat the incumbent by MORE than this band.
 """
 
 import logging
@@ -23,8 +29,40 @@ import sys
 sys.path.insert(0, ".")
 
 
+def _noise_band(version: str, vs: int, n_draws: int) -> None:
+    import json
+    import os
+
+    from nesvor_tpu import __checkpoint_dir
+    from nesvor_tpu.svort.convert import load_converted
+    from nesvor_tpu.svort.train import measure_gate_noise
+
+    out = os.path.join(__checkpoint_dir, f"SVoRT_{version}.npz")
+    params = load_converted(out)
+    noise = measure_gate_noise(params, version, vs, n_draws=n_draws)
+    print(json.dumps(noise), flush=True)
+    meta = out + ".gate.json"
+    rec = {}
+    if os.path.exists(meta):
+        with open(meta) as f:
+            rec = json.load(f)
+    rec["noise_band"] = noise
+    with open(meta, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"merged noise band into {meta}", flush=True)
+
+
 def main():
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    if len(sys.argv) > 1 and sys.argv[1] == "--noise-band":
+        version = sys.argv[2] if len(sys.argv) > 2 else "v1"
+        vs = int(sys.argv[3]) if len(sys.argv) > 3 else 48
+        n_draws = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+        from nesvor_tpu._precision import ensure_f32_matmul_semantics
+
+        ensure_f32_matmul_semantics()
+        _noise_band(version, vs, n_draws)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--regate":
         version = sys.argv[2] if len(sys.argv) > 2 else "v1"
         vs = int(sys.argv[3]) if len(sys.argv) > 3 else 48
@@ -50,7 +88,11 @@ def main():
         import os
 
         from nesvor_tpu import __checkpoint_dir
-        from nesvor_tpu.svort.train import gate_score, held_out_gate
+        from nesvor_tpu.svort.train import (
+            gate_score,
+            gate_score_gauge,
+            held_out_gate,
+        )
 
         out = os.path.join(__checkpoint_dir, f"SVoRT_{version}.npz")
         params = load_converted(out)
@@ -62,18 +104,25 @@ def main():
             f"(score {gate_score(res):.4f}, improved={res['improved']})",
             flush=True,
         )
-        with open(out + ".gate.json", "w") as f:
-            json.dump(
-                {
-                    "version": version,
-                    "vs": vs,
-                    "result": res,
-                    "gate_score": gate_score(res),
-                },
-                f,
-                indent=1,
-            )
-        print(f"rewrote {out}.gate.json", flush=True)
+        # merge: a regate refreshes the result but must not drop the
+        # measured noise band / deploy leg already in the record
+        meta = out + ".gate.json"
+        rec = {}
+        if os.path.exists(meta):
+            with open(meta) as f:
+                rec = json.load(f)
+        rec.update(
+            {
+                "version": version,
+                "vs": vs,
+                "result": res,
+                "gate_score": gate_score(res),
+                "gate_score_gauge": gate_score_gauge(res),
+            }
+        )
+        with open(meta, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"rewrote {meta}", flush=True)
         return
 
     params = load_converted(snap)
