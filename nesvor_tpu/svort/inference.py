@@ -324,14 +324,17 @@ def stack_registration(transforms_list, transform_target, stacks, res_s, s_thick
     t_target = t_mean(transform_target)
     ts_in = [[t_mean(t) for t in transforms] for transforms in transforms_list]
     params = {"res_s": res_s, "s_thick": s_thick}
-    # global NCC is computed per batch row, so every (stack, candidate)
-    # problem can share one optimizer run (the VVR optimizer is batched
-    # with per-sample accept/freeze masks)
-    vvr = VVR(
-        loss=lambda s, x, y: ncc_loss(x, y, win=None, reduction="none"),
-        **_VVR_SCHEDULE,
-    )
     trans_first = False
+
+    def make_vvr(levels=None):
+        # global NCC is computed per batch row, so every (stack, candidate)
+        # problem can share one optimizer run (the VVR optimizer is batched
+        # with per-sample accept/freeze masks)
+        return VVR(
+            loss=lambda s, x, y: ncc_loss(x, y, win=None, reduction="none"),
+            levels=levels,
+            **_VVR_SCHEDULE,
+        )
 
     # One BATCHED multi-init problem: a sample per (stack j>=1, candidate
     # set), grouped by source-volume shape so each group is one VVR run.
@@ -354,19 +357,64 @@ def stack_registration(transforms_list, transform_target, stacks, res_s, s_thick
     by_shape: dict = {}
     for i, (j, _) in enumerate(entries):
         by_shape.setdefault(tuple(stacks[j].shape), []).append(i)
+    # Multi-init pruning (round 5): the candidate inits exist to
+    # disambiguate the coarse alignment — run the coarse pyramid levels
+    # with ALL candidates, then keep only the best candidate per stack
+    # (by its coarse-level NCC) for the finest level, whose warps over
+    # the full-resolution masked grid dominate VVR wall time. Because
+    # momentum resets at every level boundary, the surviving candidate's
+    # trajectory is identical to an unpruned run; the only semantic
+    # change is dropping finest-level polish of candidates that already
+    # lost at the coarser levels. NESVOR_TPU_VVR_PRUNE=0 restores the
+    # all-candidates-all-levels behavior.
+    n_levels = _VVR_SCHEDULE["num_levels"]
+    prune = (
+        os.environ.get("NESVOR_TPU_VVR_PRUNE", "1") != "0"
+        and len(ts_in) > 1
+        and n_levels > 1
+    )
+    from .registration import LAST_VVR_STATS
+
+    LAST_VVR_STATS.clear()
     best: dict = {}  # j -> (ncc, ax row)
     for idxs in by_shape.values():
         ax_b = jnp.concatenate([entries[i][1] for i in idxs], 0)
         src = jnp.concatenate(
             [stacks[entries[i][0]][:, 0][None, None] for i in idxs], 0
         )
-        ax_out, ncc = vvr(ax_b, src, target, params, t_target, trans_first)
-        ncc_np = np.asarray(ncc).reshape(-1)
-        for row, i in enumerate(idxs):
-            j = entries[i][0]
-            cand = (float(ncc_np[row]), ax_out[row : row + 1])
-            if j not in best or cand[0] < best[j][0]:
-                best[j] = cand
+        if prune:
+            coarse = make_vvr(levels=list(range(n_levels - 1, 0, -1)))
+            ax_mid, ncc_mid = coarse(
+                ax_b, src, target, params, t_target, trans_first
+            )
+            ncc_mid_np = np.asarray(ncc_mid).reshape(-1)
+            keep: dict = {}  # j -> row index of its best coarse candidate
+            for row, i in enumerate(idxs):
+                j = entries[i][0]
+                if j not in keep or ncc_mid_np[row] < ncc_mid_np[keep[j]]:
+                    keep[j] = row
+            rows = sorted(keep.values())
+            fine = make_vvr(levels=[0])
+            ax_out, ncc = fine(
+                ax_mid[jnp.asarray(rows)],
+                src[jnp.asarray(rows)],
+                target, params, t_target, trans_first,
+            )
+            ncc_np = np.asarray(ncc).reshape(-1)
+            for k, row in enumerate(rows):
+                j = entries[idxs[row]][0]
+                cand = (float(ncc_np[k]), ax_out[k : k + 1])
+                if j not in best or cand[0] < best[j][0]:
+                    best[j] = cand
+        else:
+            vvr = make_vvr()
+            ax_out, ncc = vvr(ax_b, src, target, params, t_target, trans_first)
+            ncc_np = np.asarray(ncc).reshape(-1)
+            for row, i in enumerate(idxs):
+                j = entries[i][0]
+                cand = (float(ncc_np[row]), ax_out[row : row + 1])
+                if j not in best or cand[0] < best[j][0]:
+                    best[j] = cand
 
     ts_registered = [t_target] + [
         RigidTransform(best[j][1], trans_first=trans_first)
@@ -483,6 +531,9 @@ def _vvr_register(data, transforms_stack_full, n_stack_recon, res_s, res_r):
     transforms_vvr = stack_registration(
         candidate_sets, target, data["stacks_ori"], res_s, data["s_thick"]
     )
+    from .registration import LAST_VVR_STATS
+
+    LAST_REGISTER_STATS["vvr_levels"] = [dict(d) for d in LAST_VVR_STATS]
     logging.debug("time for stack registration: %f s", time.time() - time_start)
 
     if transforms_stack_full is None:

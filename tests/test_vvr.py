@@ -97,3 +97,46 @@ def test_vvr_batched_matches_sequential():
             jnp.asarray(ncc_s).reshape(-1)[0],
             atol=1e-4, rtol=1e-4,
         )
+
+
+def test_vvr_level_split_matches_full():
+    """Running the pyramid as a coarse pass (levels [1]) followed by a fine
+    pass (levels [0]) must follow the exact trajectory of one [1, 0] run —
+    the property the multi-init pruning in stack_registration relies on
+    (momentum resets at every level boundary, so splitting levels across
+    calls changes nothing for a surviving candidate)."""
+    phantom = jnp.asarray(phantom3d(n=32), jnp.float32)[None, None]
+    params = {"res_s": 1, "s_thick": 1.5}
+    trans_first = False
+    t_target = RigidTransform(
+        jnp.asarray([[0.1, -0.05, 0.2, 2.0, -1.0, 1.5]], jnp.float32),
+        trans_first=trans_first,
+    )
+    ax0 = jnp.asarray([[0.05, -0.1, 0.02, 3.0, -2.0, 1.0]], jnp.float32)
+
+    def make_vvr(levels=None):
+        return VVR(
+            num_levels=2,
+            num_steps=3,
+            step_size=2,
+            max_iter=8,
+            optimizer={"name": "gd", "momentum": 0.1},
+            loss=lambda s, x, y: ncc_loss(x, y, win=None, reduction="none"),
+            auto_grad=False,
+            levels=levels,
+        )
+
+    ax_full, ncc_full = make_vvr()(
+        ax0, phantom, phantom, params, t_target, trans_first
+    )
+    ax_mid, _ = make_vvr(levels=[1])(
+        ax0, phantom, phantom, params, t_target, trans_first
+    )
+    ax_split, ncc_split = make_vvr(levels=[0])(
+        ax_mid, phantom, phantom, params, t_target, trans_first
+    )
+    # the split pays one extra degree<->radian unit round-trip in
+    # Registration.__call__ between the two calls — float32 noise at the
+    # 1e-6 level; the trajectories themselves are identical
+    assert_close(ax_split, ax_full, atol=5e-6, rtol=1e-5)
+    assert_close(ncc_split, ncc_full, atol=1e-6, rtol=1e-5)
