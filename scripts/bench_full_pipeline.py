@@ -172,21 +172,29 @@ def run_pipeline(
         print(f"[reconstruct+sample] {dt:.1f} s", flush=True)
         return dt
 
-    if eval_only:
+    def _load_truth():
+        # the sidecar stores per-stack arrays as dtype=object; homogeneous
+        # stack shapes make numpy pack them into one object ndarray, whose
+        # rows come back object-dtype — cast each back to its real dtype
+        # (object-dtype boolean masks cannot index)
         d = np.load(truth_path, allow_pickle=True)
-        true_ax = list(d["true_ax"])
-        nonempty = list(d["nonempty"])
-        register_s = float(d["register_s"])
-        reconstruct_s = float(d["reconstruct_s"])
-        register_stats = json.loads(str(d.get("register_stats", "{}")))
+        return (
+            [np.asarray(a, np.float32) for a in d["true_ax"]],
+            [np.asarray(k, bool) for k in d["nonempty"]],
+            float(d["register_s"]),
+            float(d["reconstruct_s"]),
+            json.loads(str(d["register_stats"]))
+            if "register_stats" in d else {},
+        )
+
+    if eval_only:
+        true_ax, nonempty, register_s, reconstruct_s, register_stats = (
+            _load_truth()
+        )
     elif skip_register:
         # resume after a crash during reconstruct (or sweep reconstruct
         # configs): registered slices + the truth sidecar are on disk
-        d = np.load(truth_path, allow_pickle=True)
-        true_ax = list(d["true_ax"])
-        nonempty = list(d["nonempty"])
-        register_s = float(d["register_s"])
-        register_stats = json.loads(str(d.get("register_stats", "{}")))
+        true_ax, nonempty, register_s, _, register_stats = _load_truth()
         reconstruct_s = _reconstruct()
     else:
         if os.path.exists(folder):

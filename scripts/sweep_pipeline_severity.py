@@ -121,6 +121,7 @@ def main():
             "chosen": stats.get("chosen"),
             "svort_s": round(stats.get("svort_s", 0.0), 1),
             "vvr_s": round(stats.get("vvr_s", 0.0), 1),
+            "vvr_levels": stats.get("vvr_levels", []),
             "register_s": round(register_s, 1),
             "reg_err_rot_mrad_med": round(float(np.median(rot_mrad)), 1),
             "reg_err_trans_mm_med": round(float(np.median(trans_mm)), 2),
