@@ -288,6 +288,15 @@ def main():
             pipe = run_pipeline(vs=128, res=0.5, n_iter=5000)
             pipe.pop("metric", None)
             pipe.pop("device", None)
+            # no published reference wall-clock exists for the composed
+            # register->reconstruct path (BASELINE.md: the reference repo
+            # ships no benchmark numbers at all), so this block carries no
+            # vs_baseline; the comparator is the quality floor below and
+            # the known-pose bound (PERF.md round-5: 21.49 dB full-config)
+            pipe["anchor_note"] = (
+                "no published reference anchor for the composed pipeline; "
+                "quality floor + known-pose bound are the comparators"
+            )
             result["pipeline"] = pipe
             # the quality floor: the composed run must stay within ~2 dB of
             # the 21.49 dB known-pose full-config bound (PERF.md round-5);

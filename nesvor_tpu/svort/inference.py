@@ -68,6 +68,16 @@ _VVR_SCHEDULE = dict(
     auto_grad=False,
 )
 
+# Masked-grid point budget per pyramid level for the inference-path VVR
+# (see make_vvr in stack_registration); 0 (the default) disables the cap.
+# Measured on the composed pipeline: a 200k cap (stride-8 subsample of the
+# ~1.5e6-point fine grid) cuts VVR 312 -> 107 s but moves the converged
+# poses enough to cost 1.2 dB (21.08 -> 19.89) — stack registration is
+# quality-critical and its objective does not tolerate approximation
+# (same lesson as the multi-init pruning). Opt-in for speed-over-quality
+# use via NESVOR_TPU_VVR_MAX_POINTS=<n>.
+_VVR_MAX_POINTS = int(os.environ.get("NESVOR_TPU_VVR_MAX_POINTS", "0"))
+
 # Working volume for the quick stack-level SRR used only for scoring
 # (reference :394): generous fixed bound so any padded stack fits —
 # the reference's 256 voxels at 0.8 mm (204.8 mm cube), re-derived at
@@ -329,10 +339,16 @@ def stack_registration(transforms_list, transform_target, stacks, res_s, s_thick
     def make_vvr(levels=None):
         # global NCC is computed per batch row, so every (stack, candidate)
         # problem can share one optimizer run (the VVR optimizer is batched
-        # with per-sample accept/freeze masks)
+        # with per-sample accept/freeze masks). max_points caps the masked
+        # grid each level's NCC is evaluated over (deterministic stride):
+        # a 6-DOF rigid problem does not need the finest level's ~1.5e6
+        # points, and warping them through the 13-row FD stencil made
+        # level 0 compute-bound (PERF.md round-5 measurements + quality
+        # gate). NESVOR_TPU_VVR_MAX_POINTS=0 restores the full grid.
         return VVR(
             loss=lambda s, x, y: ncc_loss(x, y, win=None, reduction="none"),
             levels=levels,
+            max_points=_VVR_MAX_POINTS or None,
             **_VVR_SCHEDULE,
         )
 
@@ -357,19 +373,19 @@ def stack_registration(transforms_list, transform_target, stacks, res_s, s_thick
     by_shape: dict = {}
     for i, (j, _) in enumerate(entries):
         by_shape.setdefault(tuple(stacks[j].shape), []).append(i)
-    # Multi-init pruning (round 5): the candidate inits exist to
-    # disambiguate the coarse alignment — run the coarse pyramid levels
-    # with ALL candidates, then keep only the best candidate per stack
-    # (by its coarse-level NCC) for the finest level, whose warps over
-    # the full-resolution masked grid dominate VVR wall time. Because
-    # momentum resets at every level boundary, the surviving candidate's
-    # trajectory is identical to an unpruned run; the only semantic
-    # change is dropping finest-level polish of candidates that already
-    # lost at the coarser levels. NESVOR_TPU_VVR_PRUNE=0 restores the
-    # all-candidates-all-levels behavior.
+    # Multi-init pruning (round 5): run the coarse pyramid levels with ALL
+    # candidates, keep only the best candidate per stack for the finest
+    # level. Default OFF — measured on the composed pipeline it loses
+    # 0.55 dB (21.08 -> 20.53): the losing candidate sometimes OVERTAKES
+    # after fine-level polish, so neither the coarse-level NCC nor a
+    # fine-resolution pre-polish ranking picks the true winner (both were
+    # measured; they choose identical rows). With the device-loop stage +
+    # masked-grid point cap the unpruned fine level is cheap enough that
+    # the quality trade is not worth it; NESVOR_TPU_VVR_PRUNE=1 re-enables
+    # the pruned (faster, -0.55 dB) behavior.
     n_levels = _VVR_SCHEDULE["num_levels"]
     prune = (
-        os.environ.get("NESVOR_TPU_VVR_PRUNE", "1") != "0"
+        os.environ.get("NESVOR_TPU_VVR_PRUNE", "0") != "0"
         and len(ts_in) > 1
         and n_levels > 1
     )
@@ -384,10 +400,21 @@ def stack_registration(transforms_list, transform_target, stacks, res_s, s_thick
         )
         if prune:
             coarse = make_vvr(levels=list(range(n_levels - 1, 0, -1)))
-            ax_mid, ncc_mid = coarse(
+            ax_mid, _ = coarse(
                 ax_b, src, target, params, t_target, trans_first
             )
-            ncc_mid_np = np.asarray(ncc_mid).reshape(-1)
+            # Rank the survivors at the FINE resolution (one loss-only
+            # batched warp over all rows, a few dispatches) — choosing by
+            # the coarse level's final NCC mis-picks: measured 0.55 dB
+            # loss on the composed pipeline (PERF.md round-5), while the
+            # fine-res pre-polish ranking reproduces the unpruned
+            # winner's quality at ~the pruned run's cost.
+            ncc_mid_np = np.asarray(
+                make_vvr(levels=[0]).evaluate_at(
+                    ax_mid, src, target, params, t_target, trans_first,
+                    level=0,
+                )
+            ).reshape(-1)
             keep: dict = {}  # j -> row index of its best coarse candidate
             for row, i in enumerate(idxs):
                 j = entries[i][0]

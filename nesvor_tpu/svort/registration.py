@@ -21,6 +21,7 @@ resample pyramid, degrees for rotations during optimization.
 
 from __future__ import annotations
 
+import os
 import time
 import types
 from functools import partial
@@ -80,6 +81,7 @@ class Registration:
         loss: Union[Dict, Callable],
         auto_grad: bool,
         levels: Optional[List[int]] = None,
+        max_points: Optional[int] = None,
     ) -> None:
         self.num_levels = num_levels
         self.current_level = num_levels - 1
@@ -94,6 +96,15 @@ class Registration:
         # [2, 1] then [0] in two calls follows the exact trajectory of one
         # [2, 1, 0] run. Default: all levels.
         self.levels = levels
+        # Optional cap on the number of masked grid points the loss is
+        # evaluated over at each level (deterministic stride subsample of
+        # the flat masked index). A 6-DOF rigid problem needs ~1e2 points
+        # per DOF for a stable NCC gradient; the finest pyramid level of an
+        # inference-scale VVR has ~1.5e6 — warping all of them through the
+        # 13-row FD stencil is what makes level 0 compute-bound (PERF.md
+        # round-5: 4.3 s/iter). None (the default, and what the
+        # reference-tolerance tests use) evaluates the full masked grid.
+        self.max_points = max_points
 
         if isinstance(loss, dict):
             loss = dict(loss)
@@ -284,17 +295,154 @@ class Registration:
         dtheta = self.degree2rad(theta) - theta0
         return theta0 + dtheta, loss
 
+    def evaluate_level(self, theta, source, target, level=0):
+        """Loss-only evaluation of every parameter row at ONE pyramid level
+        — no optimization. Used by the multi-init pruning chooser
+        (svort/inference.py): ranking candidates by their loss AT THE FINE
+        RESOLUTION before polishing picks the same winner the unpruned
+        all-candidates-all-levels run would, where ranking by the coarse
+        level's final loss measurably does not (PERF.md round-5: the
+        coarse-NCC chooser cost 0.55 dB on the composed pipeline).
+        Caller must run ``prepare`` first (or call through a wrapper that
+        does); one warp over all rows, a few dispatches total."""
+        theta_deg = self.rad2degree(jax.lax.stop_gradient(theta))
+        self.current_level = level
+        source_new, target_new = self.update_level(theta_deg, source, target)
+        return self.evaluate(theta_deg, source_new, target_new)
+
+
+def _vvr_warp_rows(
+    theta_deg, packed, grid, grid_scale, target_flat, theta_t, trans_first
+):
+    """Warp every (degree-unit) parameter row against its corner-packed
+    source and pair it with the flat masked target (the shared core of
+    ``VVR.warp`` and the device-loop stage ``_vvr_stage`` — one
+    implementation so the two paths cannot drift).
+
+    ``packed``: PackedVolume whose rows carry a leading source dim Ns
+    (``jax.vmap(corner_pack_volume)``). Parameter rows are laid out
+    [group0 | group1 | ...] with each group containing Ns consecutive rows
+    paired to sources 0..Ns-1; Ns == 1 shares the single source across all
+    rows."""
+    transforms = (
+        RigidTransform(
+            theta_deg * jnp.asarray(_DEG2RAD, theta_deg.dtype),
+            trans_first=trans_first,
+        )
+        .inv()
+        .compose(theta_t)
+        .matrix()
+    )  # (N, 3, 4)
+    g = jnp.matmul(
+        transforms[:, None, :, :3],
+        grid[None, :, :, None] + transforms[:, None, :, 3:],
+    )
+    g = g[..., 0] * grid_scale  # (N, V, 3)
+    Ns = packed.rows.shape[0]
+    N = g.shape[0]
+    if Ns == 1:
+        p0 = jax.tree_util.tree_map(lambda x: x[0], packed)
+        warped = jax.vmap(lambda gr: grid_sample_3d(p0, gr))(g)
+    else:
+        assert N % Ns == 0, (N, Ns)
+        g_r = g.reshape(N // Ns, Ns, *g.shape[1:])
+        warped = jax.vmap(
+            lambda gr: jax.vmap(grid_sample_3d)(packed, gr)
+        )(g_r).reshape(N, *g.shape[1:-1])
+    tgt = jnp.broadcast_to(target_flat[None], (N,) + target_flat.shape)
+    return warped.reshape(N, 1, -1), tgt.reshape(N, 1, -1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "loss_fn", "trans_first", "momentum", "max_iter", "has_loss", "level"
+    ),
+)
+def _vvr_stage(
+    theta, source, grid, grid_scale, target_flat, theta_t, step_size,
+    loss_in, *, loss_fn, trans_first, momentum, max_iter, has_loss, level,
+):
+    """One GD stage of ``VVR`` as a single device program: the per-iteration
+    loop (FD gradient -> momentum step -> trial -> per-sample accept/freeze
+    -> early exit when no sample improves) runs inside ``lax.while_loop``,
+    so a stage costs ONE dispatch + one host fetch instead of ~6 dispatches
+    and a blocking ``active.any()`` fetch per iteration (PERF.md round-5:
+    the coarse pyramid levels were host-loop-overhead-bound at ~1.8 s/iter
+    for ~25 k-point grids). Semantics are identical to the host loop in
+    ``Registration.step`` — pinned by test_vvr_device_loop_matches_host —
+    and the early exit happens ON DEVICE at every iteration, unlike the
+    measured-and-reverted strided host check (no masked overshoot).
+    ``level`` only keys the jit cache: dict-config NCC losses close over
+    ``self.current_level``, so equal-shape programs at different levels
+    must not share a cache entry."""
+    from ..ops.interp import corner_pack_volume
+
+    N = theta.shape[0]
+    if source.shape[0] == 1:
+        packed = jax.tree_util.tree_map(
+            lambda x: x[None], corner_pack_volume(source[0, 0])
+        )
+    else:
+        packed = jax.vmap(corner_pack_volume)(source[:, 0])
+
+    def rows_loss(th_rows, n_groups):
+        warped, tgt = _vvr_warp_rows(
+            th_rows, packed, grid, grid_scale, target_flat, theta_t,
+            trans_first,
+        )
+        out = []
+        for gi in range(n_groups):
+            lv = loss_fn(warped[gi * N:(gi + 1) * N], tgt[gi * N:(gi + 1) * N])
+            out.append(lv.reshape(N, -1).mean(1))
+        return jnp.stack(out, 0)
+
+    loss0 = loss_in if has_loss else rows_loss(theta, 1)[0]
+    eye = jnp.eye(6, dtype=theta.dtype) * step_size
+    pert = jnp.concatenate([eye, -eye], 0)  # (12, 6): +e_j then -e_j
+
+    def body(c):
+        it, th, loss, loss_all, mom, active = c
+        fd_rows = (th[None, :, :] + pert[:, None, :]).reshape(12 * N, 6)
+        fd = rows_loss(fd_rows, 12)
+        grad = (fd[0:6] - fd[6:12]).T  # (N, 6)
+        loss_all = jnp.where(active, loss, loss_all)
+        if momentum:
+            mom = jnp.where(
+                it == 0, grad,
+                jnp.where(active[:, None], mom * momentum + grad, mom),
+            )
+        else:
+            mom = grad
+        step_dir = mom / (jnp.linalg.norm(mom, axis=-1, keepdims=True) + 1e-6)
+        th_new = th + step_dir * (-step_size)
+        loss_new = rows_loss(th_new, 1)[0]
+        improved = jnp.logical_and(active, loss_new < loss)
+        th = jnp.where(improved[:, None], th_new, th)
+        loss = jnp.where(improved, loss_new, loss)
+        return (it + 1, th, loss, loss_all, mom, improved)
+
+    def cond(c):
+        return jnp.logical_and(c[0] < max_iter, c[5].any())
+
+    init = (
+        jnp.int32(0), theta, loss0, jnp.zeros(N, theta.dtype),
+        jnp.zeros_like(theta), jnp.ones(N, bool),
+    )
+    it, th, loss, loss_all, _, _ = jax.lax.while_loop(cond, body, init)
+    return th, jax.lax.stop_gradient(loss_all), loss, it
+
 
 class VVR(Registration):
     """Volume-to-volume rigid registration (reference :189-264)."""
 
     def __init__(
         self, num_levels, num_steps, step_size, max_iter, optimizer, loss,
-        auto_grad, levels=None,
+        auto_grad, levels=None, max_points=None,
     ):
         super().__init__(
             num_levels, num_steps, step_size, max_iter, optimizer, loss,
-            auto_grad, levels=levels,
+            auto_grad, levels=levels, max_points=max_points,
         )
         self.theta_t: Optional[RigidTransform] = None
         self._grid = None
@@ -317,7 +465,13 @@ class VVR(Registration):
 
         res_new = self.res * (2**self.current_level)
         mask = np.asarray(target > 0).reshape(-1)
-        midx = jnp.asarray(np.nonzero(mask)[0])
+        midx_np = np.nonzero(mask)[0]
+        if self.max_points and midx_np.size > self.max_points:
+            # deterministic stride subsample (raster order — spatially
+            # ~uniform); see the ``max_points`` comment in __init__
+            stride = int(np.ceil(midx_np.size / self.max_points))
+            midx_np = midx_np[::stride]
+        midx = jnp.asarray(midx_np)
 
         grid = meshgrid(
             (target.shape[-1], target.shape[-2], target.shape[-3]),
@@ -338,46 +492,56 @@ class VVR(Registration):
         return source, target
 
     def warp(self, theta, source, target):
-        transforms = (
-            RigidTransform(self.degree2rad(theta), trans_first=self.trans_first)
-            .inv()
-            .compose(self.theta_t)
-            .matrix()
-        )  # (N, 3, 4)
-        grid = jnp.matmul(
-            transforms[:, None, :, :3],
-            self._grid[None, :, :, None] + transforms[:, None, :, 3:],
-        )
-        grid = grid[..., 0] * self._grid_scale  # (N, V, 3)
-
         # corner-packed sampling: one 32 B gather per warped point instead of
         # 8 (the finite-difference grad warps a 13x parameter batch through
         # this — the dominant cost of VVR on TPU)
         from ..ops.interp import corner_pack_volume
 
         if source.shape[0] == 1:
-            packed = corner_pack_volume(source[0, 0])
-            warped = jax.vmap(lambda g: grid_sample_3d(packed, g))(grid)
+            packed = jax.tree_util.tree_map(
+                lambda x: x[None], corner_pack_volume(source[0, 0])
+            )
         else:
-            # k*Ns parameter rows over Ns sources (k = 1 for a plain batch,
-            # 13 for the finite-difference stencil): pack each source ONCE
-            # and sample every stencil group against the packed set
-            Ns = source.shape[0]
-            N = grid.shape[0]
-            assert N % Ns == 0, (N, Ns)
             packed = jax.vmap(corner_pack_volume)(source[:, 0])
-            grid_r = grid.reshape(N // Ns, Ns, *grid.shape[1:])
-            warped = jax.vmap(
-                lambda gr: jax.vmap(grid_sample_3d)(packed, gr)
-            )(grid_r).reshape(N, *grid.shape[1:-1])
-        tgt = jnp.broadcast_to(
-            self._target_flat[None], (theta.shape[0],) + self._target_flat.shape
+        return _vvr_warp_rows(
+            theta, packed, self._grid, self._grid_scale, self._target_flat,
+            self.theta_t, self.trans_first,
         )
-        return warped.reshape(theta.shape[0], 1, -1), tgt.reshape(
-            theta.shape[0], 1, -1
+
+    def step(self, theta, source, target, step_size, loss=None):
+        """Device-loop GD stage (``_vvr_stage``): the whole iteration loop
+        is one dispatch. Falls back to the host loop for autodiff losses,
+        non-GD optimizers, or NESVOR_TPU_VVR_DEVICE_LOOP=0."""
+        if (
+            self.auto_grad
+            or self.optimizer["name"] != "gd"
+            or os.environ.get("NESVOR_TPU_VVR_DEVICE_LOOP", "1") == "0"
+        ):
+            return super().step(theta, source, target, step_size, loss)
+        has_loss = loss is not None
+        th, loss_all, carry, iters = _vvr_stage(
+            theta, source, self._grid, self._grid_scale, self._target_flat,
+            self.theta_t, jnp.asarray(step_size, theta.dtype),
+            loss if has_loss else jnp.zeros(theta.shape[0], theta.dtype),
+            loss_fn=self.loss, trans_first=self.trans_first,
+            momentum=float(self.optimizer.get("momentum", 0)),
+            max_iter=int(self.max_iter), has_loss=has_loss,
+            level=int(self.current_level),
         )
+        return th, loss_all, carry, int(iters)
 
     def __call__(self, theta, source, target, params, transform_t, trans_first):
         self.theta_t = transform_t
         self.trans_first = trans_first
         return super().__call__(theta, source, target, params)
+
+    def evaluate_at(
+        self, theta, source, target, params, transform_t, trans_first,
+        level=0,
+    ):
+        """Per-row loss at one pyramid level without optimizing (see
+        ``Registration.evaluate_level``)."""
+        self.theta_t = transform_t
+        self.trans_first = trans_first
+        self.prepare(theta, source, target, params)
+        return self.evaluate_level(theta, source, target, level=level)

@@ -126,17 +126,68 @@ def test_vvr_level_split_matches_full():
             levels=levels,
         )
 
-    ax_full, ncc_full = make_vvr()(
-        ax0, phantom, phantom, params, t_target, trans_first
+    # Drive multilevel() directly (degree units throughout): going through
+    # __call__ twice adds a degree<->radian round trip between the calls,
+    # and that ~1e-7 perturbation can flip a borderline accept decision in
+    # a later iteration, amplifying to ~1e-4 in the final pose (measured)
+    # — accept-flip sensitivity of the discrete accept rule, not a level-
+    # subsetting error. The invariant under test is that the SAME degree
+    # trajectory continues exactly across a level split.
+    def run_levels(levels, theta_deg):
+        vvr = make_vvr(levels=levels)
+        vvr.theta_t = t_target
+        vvr.trans_first = trans_first
+        vvr.prepare(theta_deg, phantom, phantom, params)
+        return vvr.multilevel(theta_deg, phantom, phantom)
+
+    theta0_deg = make_vvr().rad2degree(ax0)
+    ax_full, ncc_full = run_levels([1, 0], theta0_deg)
+    ax_mid, _ = run_levels([1], theta0_deg)
+    ax_split, ncc_split = run_levels([0], ax_mid)
+    assert_close(ax_split, ax_full, atol=1e-6, rtol=1e-6)
+    assert_close(ncc_split, ncc_full, atol=1e-7, rtol=1e-6)
+
+
+def test_vvr_device_loop_matches_host(monkeypatch):
+    """The lax.while_loop device stage (_vvr_stage) must follow the host
+    iteration loop exactly: same accepted steps, same freeze behavior,
+    same early exit — on a multi-row batch with distinct sources (the
+    stack_registration shape). Also pins max_points: a capped grid is a
+    different (smaller) problem, so the cap must apply identically on
+    both paths."""
+    phantom = jnp.asarray(phantom3d(n=32), jnp.float32)[None, None]
+    src2 = jnp.roll(phantom, 2, axis=-1) * 0.8
+    params = {"res_s": 1, "s_thick": 1.5}
+    trans_first = False
+    t_target = RigidTransform(
+        jnp.asarray([[0.1, -0.05, 0.2, 2.0, -1.0, 1.5]], jnp.float32),
+        trans_first=trans_first,
     )
-    ax_mid, _ = make_vvr(levels=[1])(
-        ax0, phantom, phantom, params, t_target, trans_first
+    rng = np.random.default_rng(7)
+    ax0 = jnp.asarray(
+        rng.normal(0, 0.1, (2, 6)) * np.asarray([1, 1, 1, 10, 10, 10]),
+        jnp.float32,
     )
-    ax_split, ncc_split = make_vvr(levels=[0])(
-        ax_mid, phantom, phantom, params, t_target, trans_first
-    )
-    # the split pays one extra degree<->radian unit round-trip in
-    # Registration.__call__ between the two calls — float32 noise at the
-    # 1e-6 level; the trajectories themselves are identical
-    assert_close(ax_split, ax_full, atol=5e-6, rtol=1e-5)
-    assert_close(ncc_split, ncc_full, atol=1e-6, rtol=1e-5)
+
+    def run(max_points):
+        return VVR(
+            num_levels=2,
+            num_steps=3,
+            step_size=2,
+            max_iter=8,
+            optimizer={"name": "gd", "momentum": 0.1},
+            loss=lambda s, x, y: ncc_loss(x, y, win=None, reduction="none"),
+            auto_grad=False,
+            max_points=max_points,
+        )(
+            ax0, jnp.concatenate([phantom, src2], 0), phantom, params,
+            t_target, trans_first,
+        )
+
+    for max_points in (None, 2000):
+        monkeypatch.delenv("NESVOR_TPU_VVR_DEVICE_LOOP", raising=False)
+        ax_dev, ncc_dev = run(max_points)
+        monkeypatch.setenv("NESVOR_TPU_VVR_DEVICE_LOOP", "0")
+        ax_host, ncc_host = run(max_points)
+        assert_close(ax_dev, ax_host, atol=1e-5, rtol=1e-5)
+        assert_close(ncc_dev, ncc_host, atol=1e-5, rtol=1e-5)
