@@ -314,7 +314,12 @@ def run_pipeline(
         "corruption": {"rot_std_rad": rot_std, "trans_std_mm": trans_std},
         "register_s": round(register_s, 1),
         **{
-            k: round(v, 1) if isinstance(v, float) else v
+            # walls to 0.1 s; similarity scores keep 6 digits — the
+            # svort-vs-vvr selection and the equal-objective evidence
+            # (PERF.md round-5 flat-basin finding) live in those digits
+            k: (
+                round(v, 6) if k.startswith("score") else round(v, 1)
+            ) if isinstance(v, float) else v
             for k, v in register_stats.items()
         },
         "reconstruct_s": round(reconstruct_s, 1),
