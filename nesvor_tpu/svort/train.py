@@ -852,6 +852,16 @@ def held_out_gate(
         for k in ("psf_rec", "slice_shape", "resolution_slice",
                   "resolution_recon", "slice_thickness", "volume_shape")
     }
+    # Deployment-geometry evals (vs=128, the install gate's deploy leg)
+    # need the projector's slice_chunk bound exactly like inference does:
+    # unchunked slab programs at this scale materialize a ~52 GB gather
+    # buffer and OOM HBM (measured). The canonical vs=48 gate stays
+    # unchunked so its scores remain byte-comparable with the historical
+    # curve/gate records.
+    if vs > 64:
+        from .inference import _SLICE_CHUNK
+
+        static["slice_chunk"] = _SLICE_CHUNK
 
     # one compiled forward for all examples (the eager per-op path paid
     # minutes of remote dispatch overhead per gate example)
